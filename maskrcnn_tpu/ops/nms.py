@@ -1,0 +1,102 @@
+"""Fixed-shape, on-device greedy NMS.
+
+Spec: chainercv ``non_maximum_suppression`` — greedy IoU suppression in
+score-descending order (used by the reference at model/maskrcnn.py:297 and
+inside ProposalCreator; readable in-tree spec copy at reference
+utils/proposal_creator.py:141-169). The reference copies arrays to host for
+the surrounding filtering; here everything stays on device with static
+shapes: N input slots in, ``n_out`` output slots + validity mask out, so the
+op composes into one jitted graph.
+
+Exactness: this IS exact greedy NMS. The recurrence "box i is kept iff no
+higher-scored *kept* box overlaps it above the threshold" is evaluated with a
+``lax.fori_loop`` whose iteration ``i`` only suppresses later boxes once box
+``i``'s own fate is final. Ties in score are broken by input order (stable
+argsort), documented per SURVEY §7 hard-part 1.
+
+Cost: O(N²) IoU matrix + N sequential vector updates. Intended for
+N ≤ a few thousand (the pre-NMS top-k); a Pallas bitmask variant can replace
+the inner loop later without changing this interface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.ops.boxes import box_iou
+
+_NEG_INF = -1e30
+
+
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thresh: float,
+    n_out: int,
+    valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over N padded boxes → ``n_out`` fixed slots.
+
+    Args:
+      boxes: (N, 4) yxyx.
+      scores: (N,).
+      iou_thresh: suppression threshold (reference uses 0.7 for RPN,
+        0.3 for per-class postprocess — train.py:97 via use_preset).
+      n_out: number of output slots (post-NMS top-k).
+      valid: optional (N,) bool; invalid slots never selected nor suppress.
+
+    Returns:
+      (indices, out_valid): (n_out,) int32 indices into the input (0 where
+      invalid — always safe to gather with) and (n_out,) bool validity.
+      Indices are in score-descending order of the kept boxes.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    masked_scores = jnp.where(valid, scores, _NEG_INF)
+    order = jnp.argsort(-masked_scores, stable=True)
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+
+    iou = box_iou(boxes_s, boxes_s)
+    pos = jnp.arange(n)
+
+    def body(i, keep):
+        suppress = keep[i] & (iou[i] > iou_thresh) & (pos > i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, n, body, valid_s)
+
+    # Compact the kept boxes (already score-sorted) into n_out slots.
+    rank = jnp.cumsum(keep) - 1  # rank among kept, valid where keep
+    in_range = keep & (rank < n_out)
+    slot = jnp.where(in_range, rank, n_out)  # dumps the rest past the end
+    indices = jnp.zeros((n_out,), jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    out_valid = jnp.zeros((n_out,), bool).at[slot].set(in_range, mode="drop")
+    indices = jnp.where(out_valid, indices, 0)
+    return indices, out_valid
+
+
+def batched_nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    iou_thresh: float,
+    n_out: int,
+    valid: jnp.ndarray | None = None,
+    coord_bound: float = 4096.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware NMS via the coordinate-offset trick.
+
+    Boxes of different classes are translated to disjoint regions so one NMS
+    pass performs per-class suppression — replaces the reference's Python
+    loop over classes in ``_suppress`` (reference model/maskrcnn.py:278-312)
+    with a single fixed-shape op. ``coord_bound`` must exceed every
+    coordinate magnitude.
+    """
+    offset = class_ids.astype(boxes.dtype)[:, None] * (2.0 * coord_bound)
+    return nms_padded(boxes + offset, scores, iou_thresh, n_out, valid)

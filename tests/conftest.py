@@ -1,0 +1,31 @@
+"""Test environment: force CPU with 8 virtual devices.
+
+NOTE: this image pre-imports jax at interpreter startup (PYTHONPATH
+/root/.axon_site) with JAX_PLATFORMS=axon, so env vars set here are too late
+for the import — but the backend itself initializes lazily, so
+``jax.config.update`` + XLA_FLAGS set before first device use still work.
+
+Multi-chip sharding tests run against this fake 8-device CPU mesh
+(SURVEY §4: "multi-device tests under forced
+xla_force_host_platform_device_count"); Pallas kernels run in interpret mode.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
