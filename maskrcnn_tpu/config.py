@@ -1,0 +1,205 @@
+"""One dataclass config with presets named after the reference configs.
+
+Replaces the reference's argparse-duplicated flags + string-keyed constructor
+branches (reference chainer_maskrcnn/model/maskrcnn.py:52-124, train.py:62-76)
+with a single typed config (SURVEY §5 "Config / flag system" gap).
+
+All shape-determining fields are static Python values so one config compiles
+to one XLA program: image sizes are bucketed, proposal/ROI counts are fixed
+slot counts with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
+    base_size: float = 16.0
+    # Per-level single scale, reference FPN: sizes/16 = [2,4,8,16,32]
+    # (reference model/extractor/feature_pyramid_network.py:42-44).
+    scales: tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalConfig:
+    """Proposal budgets (reference: chainercv ProposalCreator defaults,
+    readable copy at reference utils/proposal_creator.py:53-69)."""
+
+    nms_thresh: float = 0.7
+    # Reference: 12000/2000 train, 6000/300 test. TPU keeps the post budgets
+    # and trims pre-NMS to what fits an O(N²) on-device NMS; configurable.
+    n_train_pre_nms: int = 6000
+    n_train_post_nms: int = 1000
+    n_test_pre_nms: int = 6000
+    n_test_post_nms: int = 300
+    min_size: float = 16.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """ProposalTargetCreator hyperparams
+    (reference utils/proposal_target_creator.py:13-24)."""
+
+    n_sample: int = 256
+    pos_ratio: float = 0.25
+    pos_iou_thresh: float = 0.5
+    neg_iou_thresh_hi: float = 0.5
+    neg_iou_thresh_lo: float = 0.0
+    loc_normalize_mean: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    loc_normalize_std: tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorTargetConfig:
+    """AnchorTargetCreator hyperparams (chainercv defaults, SURVEY §2c)."""
+
+    n_sample: int = 256
+    pos_iou_thresh: float = 0.7
+    neg_iou_thresh: float = 0.3
+    pos_ratio: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone: Literal["fpn", "c4", "darknet"] = "fpn"
+    head: Literal["fpn", "fpn_keypoint", "light", "res5"] = "fpn"
+    n_fg_class: int = 79  # reference data/label_coco.txt has 79 classes
+    n_keypoints: int = 17
+    n_mask_convs: int = 4  # keypoint head default 8 (train_keypoints.py:87)
+    roi_size_box: int = 7
+    roi_size_mask: int = 14
+    mask_size: int = 28  # head-dependent: fpn 28, light/res5 14, keypoint 56
+    fpn_channels: int = 256
+    freeze_bn: bool = True
+    # compute dtype for conv/matmul-heavy paths; params stay float32.
+    dtype: str = "float32"
+
+    @property
+    def n_class(self) -> int:
+        return self.n_fg_class + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 2
+    image_size: tuple[int, int] = (800, 1024)  # static padded bucket (H, W)
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    iterations: int = 200_000
+    lr_decay_factor: float = 0.1
+    lr_decay_every_iters: int = 120_000  # ≈ "every 2 epochs" of COCO @ bs1
+    max_gt: int = 64  # padded GT slots per image
+    gt_mask_size: int = 112  # GT masks stored at this res, ROIAligned to targets
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    score_thresh: float = 0.05  # use_preset('evaluate'), SURVEY §2c
+    nms_thresh: float = 0.3
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    anchors: AnchorConfig = AnchorConfig()
+    proposals: ProposalConfig = ProposalConfig()
+    sampler: SamplerConfig = SamplerConfig()
+    anchor_targets: AnchorTargetConfig = AnchorTargetConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _rep(cfg: Config, **sections) -> Config:
+    out = cfg
+    for name, changes in sections.items():
+        out = dataclasses.replace(out, **{name: dataclasses.replace(getattr(out, name), **changes)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference's runnable configurations (SURVEY §5).
+# ---------------------------------------------------------------------------
+
+def fpn_mask() -> Config:
+    """FPN Mask R-CNN — reference `train.py --backbone fpn --head-arch fpn`."""
+    return Config()
+
+
+def fpn_keypoint() -> Config:
+    """Keypoint R-CNN — reference train_keypoints.py (COCO person)."""
+    cfg = Config()
+    return _rep(
+        cfg,
+        model=dict(head="fpn_keypoint", n_fg_class=1, n_keypoints=17,
+                   n_mask_convs=8, mask_size=56),
+    )
+
+
+def light_head() -> Config:
+    """Light-Head R-CNN — reference `--head-arch light` (single level C4)."""
+    cfg = Config()
+    return _rep(
+        cfg,
+        model=dict(backbone="c4", head="light", mask_size=14),
+        anchors=dict(scales=(8.0, 16.0, 32.0)),
+    )
+
+
+def c4_res5() -> Config:
+    """C4 backbone + Res5 head — reference `--backbone c4 --head-arch res5`."""
+    cfg = Config()
+    return _rep(
+        cfg,
+        model=dict(backbone="c4", head="res5", mask_size=14),
+        anchors=dict(scales=(8.0, 16.0, 32.0)),
+    )
+
+
+def darknet_keypoint(n_keypoints: int = 20) -> Config:
+    """Darknet + keypoint head — reference viewer.py:17-18 (depth camera)."""
+    cfg = Config()
+    return _rep(
+        cfg,
+        model=dict(backbone="darknet", head="fpn_keypoint", n_fg_class=1,
+                   n_keypoints=n_keypoints, n_mask_convs=2, mask_size=56),
+        anchors=dict(scales=(4.0,)),  # anchor_sizes=[64] → 64/16
+        proposals=dict(n_test_pre_nms=50, n_test_post_nms=10),  # maskrcnn.py:73-74
+        train=dict(image_size=(256, 320), batch_size=8),
+    )
+
+
+# Tiny config for tests/smoke: darknet + fpn mask head on small images.
+def tiny_test() -> Config:
+    cfg = Config()
+    return _rep(
+        cfg,
+        model=dict(backbone="darknet", head="fpn", n_fg_class=3,
+                   fpn_channels=64, mask_size=28),
+        anchors=dict(scales=(4.0,)),
+        proposals=dict(n_train_pre_nms=512, n_train_post_nms=64,
+                       n_test_pre_nms=256, n_test_post_nms=32),
+        sampler=dict(n_sample=32),
+        anchor_targets=dict(n_sample=64),
+        train=dict(batch_size=2, image_size=(128, 160), max_gt=8,
+                   gt_mask_size=56),
+    )
+
+
+PRESETS = {
+    "fpn_mask": fpn_mask,
+    "fpn_keypoint": fpn_keypoint,
+    "light_head": light_head,
+    "c4_res5": c4_res5,
+    "darknet_keypoint": darknet_keypoint,
+    "tiny_test": tiny_test,
+}

@@ -1,0 +1,114 @@
+"""Synthetic detection data — deterministic COCO-shaped batches.
+
+Fills the role of the reference's tiny smoke setups (it has none; SURVEY §4
+lists "tiny-synthetic-COCO integration test" as a gap to fill). Generates
+images of colored rectangles/ellipses with exact boxes, instance masks
+(stored as fixed-size box crops, the on-device target format) and simple
+keypoint skeletons. Used by tests, bench.py, and the CLI ``--dataset
+synthetic`` path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.train.step import Batch
+
+
+class SyntheticDetectionData:
+    """Infinite deterministic stream of fixed-shape batches."""
+
+    def __init__(self, cfg: Config, n_keypoints: int | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.n_keypoints = n_keypoints or cfg.model.n_keypoints
+        self.seed = seed
+        self.is_keypoint = cfg.model.head == "fpn_keypoint"
+
+    def _make_example(self, rng: np.random.RandomState):
+        cfg = self.cfg
+        h, w = cfg.train.image_size
+        g = cfg.train.max_gt
+        s = cfg.train.gt_mask_size
+        img = rng.uniform(0.0, 0.15, (h, w, 3)).astype(np.float32)
+
+        n_obj = rng.randint(1, min(6, g) + 1)
+        boxes = np.zeros((g, 4), np.float32)
+        labels = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        masks = np.zeros((g, s, s), np.float32)
+        kps = np.zeros((g, self.n_keypoints, 3), np.float32)
+
+        for i in range(n_obj):
+            bh = rng.uniform(h * 0.15, h * 0.5)
+            bw = rng.uniform(w * 0.15, w * 0.5)
+            y0 = rng.uniform(0, h - bh)
+            x0 = rng.uniform(0, w - bw)
+            y1, x1 = y0 + bh, x0 + bw
+            cls = rng.randint(0, cfg.model.n_fg_class)
+            color = rng.uniform(0.4, 1.0, (3,)).astype(np.float32)
+            shape_kind = rng.randint(0, 2)
+
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            if shape_kind == 0:  # rectangle
+                inside = (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
+            else:  # ellipse
+                cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+                inside = ((yy - cy) / (bh / 2)) ** 2 + ((xx - cx) / (bw / 2)) ** 2 <= 1.0
+            img[inside] = color
+
+            boxes[i] = [y0, x0, y1, x1]
+            labels[i] = cls
+            valid[i] = True
+
+            # mask crop: rasterize 'inside' within the box at s×s
+            cy_lin = y0 + (np.arange(s) + 0.5) / s * bh
+            cx_lin = x0 + (np.arange(s) + 0.5) / s * bw
+            gy, gx = np.meshgrid(cy_lin, cx_lin, indexing="ij")
+            if shape_kind == 0:
+                masks[i] = 1.0
+            else:
+                cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+                masks[i] = (
+                    ((gy - cy) / (bh / 2)) ** 2 + ((gx - cx) / (bw / 2)) ** 2 <= 1.0
+                ).astype(np.float32)
+
+            # keypoints: deterministic lattice inside the box, all visible
+            k = self.n_keypoints
+            t = (np.arange(k) + 0.5) / k
+            kps[i, :, 0] = y0 + t * bh
+            kps[i, :, 1] = x0 + (1.0 - t) * bw
+            kps[i, :, 2] = 2.0
+
+        return img, boxes, labels, valid, masks, kps
+
+    def batch(self, index: int) -> Batch:
+        cfg = self.cfg
+        b = cfg.train.batch_size
+        h, w = cfg.train.image_size
+        rng = np.random.RandomState(self.seed * 100_003 + index)
+        ims, bxs, lbs, vds, mks, kps = [], [], [], [], [], []
+        for _ in range(b):
+            im, bx, lb, vd, mk, kp = self._make_example(rng)
+            ims.append(im)
+            bxs.append(bx)
+            lbs.append(lb)
+            vds.append(vd)
+            mks.append(mk)
+            kps.append(kp)
+        return Batch(
+            images=np.stack(ims),
+            img_hw=np.full((b, 2), (h, w), np.float32),
+            scale=np.ones((b,), np.float32),
+            gt_boxes=np.stack(bxs),
+            gt_labels=np.stack(lbs),
+            gt_valid=np.stack(vds),
+            gt_masks=None if self.is_keypoint else np.stack(mks),
+            gt_keypoints=np.stack(kps) if self.is_keypoint else None,
+        )
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.batch(i)
+            i += 1

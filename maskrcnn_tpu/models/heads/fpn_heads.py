@@ -1,0 +1,150 @@
+"""FPN ROI heads: box+mask and box+keypoint.
+
+Specs:
+- ``FPNMaskHead`` ← reference ``FPNRoIMaskHead``
+  (chainer_maskrcnn/model/head/fpn_roi_mask_head.py:10-102): box branch =
+  ROIAlign 7×7 → 3×3 conv256+relu → fc1024 → fc1024 → class-agnostic
+  ``cls_loc`` (4) + ``score`` (n_class); mask branch = ROIAlign 14×14 →
+  4× 3×3 conv256+relu → 2× deconv256 → 1×1 conv to n_class−1 (28² logits,
+  note: NO relu between deconv and the final conv, :84).
+- ``FPNKeypointHead`` ← reference ``FPNRoIKeypointHead``
+  (fpn_roi_keypoint_head.py:10-111): same box branch; keypoint branch =
+  ROIAlign 14×14 → n_mask_convs× conv256+relu → deconv×2 →
+  1×1 conv to n_keypoints → bilinear ×2 resize → 56×56 heatmap logits
+  (:83-93).
+
+Heads operate on *pooled* ROI features (the facade does the pooling with the
+batched multilevel ROIAlign); train-vs-eval branching and the reference's
+stateful two-pass caching (``self.x`` at fpn_roi_mask_head.py:87) are
+replaced by the functional two-pass in ``MaskRCNN.predict``.
+
+TPU note: the (R, 7·7·C) @ (7·7·C, 1024) fc over all ROIs at once is one big
+MXU matmul — this is where the reference's 256 per-ROI kernel launches
+collapse to a single op.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class BoxBranch(nn.Module):
+    """Shared box branch: conv3×3(256)+relu → fc1024 → fc1024 → loc/score."""
+
+    n_class: int
+    n_loc: int = 4  # class-agnostic (reference cls_loc out=4)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        """pooled (R, S, S, C) → (locs (R, n_loc), scores (R, n_class))."""
+        dt = self.dtype
+        h = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt, name="conv1")(pooled))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.relu(nn.Dense(1024, dtype=dt, name="fc1")(h))
+        h = nn.relu(nn.Dense(1024, dtype=dt, name="fc2")(h))
+        locs = nn.Dense(self.n_loc, dtype=dt, name="cls_loc")(h)
+        scores = nn.Dense(self.n_class, dtype=dt, name="score")(h)
+        return locs.astype(jnp.float32), scores.astype(jnp.float32)
+
+
+class MaskBranch(nn.Module):
+    """4× conv256 → deconv×2 → 1×1 conv to n_out; 14² in → 28² out."""
+
+    n_out: int
+    n_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        dt = self.dtype
+        h = pooled
+        for i in range(self.n_convs):
+            h = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
+                                name=f"mask{i + 1}")(h))
+        h = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt,
+                             name="deconv1")(h)
+        # Reference applies conv2 directly on the deconv output (no relu).
+        h = nn.Conv(self.n_out, (1, 1), dtype=dt, name="conv2")(h)
+        return h.astype(jnp.float32)
+
+
+class FPNMaskHead(nn.Module):
+    n_class: int  # includes background
+    n_mask_convs: int = 4
+    dtype: Any = jnp.float32
+
+    mask_size = 28
+    roi_size_box = 7
+    roi_size_mask = 14
+    class_agnostic_loc = True
+
+    def setup(self):
+        self.box = BoxBranch(self.n_class, 4, self.dtype)
+        self.mask = MaskBranch(self.n_class - 1, self.n_mask_convs, self.dtype)
+
+    def __call__(self, pooled_box, pooled_mask=None):
+        locs, scores = self.box(pooled_box)
+        if pooled_mask is None:
+            return locs, scores, None
+        return locs, scores, self.mask(pooled_mask)
+
+    def predict_mask(self, pooled_mask):
+        return self.mask(pooled_mask)
+
+
+class KeypointBranch(nn.Module):
+    """n_convs× conv256 → deconv×2 → 1×1 conv(n_keypoints) → bilinear ×2.
+
+    14² pooled → 28² deconv → 56² resized heatmap logits
+    (reference fpn_roi_keypoint_head.py:83-93)."""
+
+    n_keypoints: int
+    n_convs: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        dt = self.dtype
+        h = pooled
+        for i in range(self.n_convs):
+            h = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
+                                name=f"mask{i + 1}")(h))
+        h = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt,
+                             name="deconv1")(h)
+        h = nn.Conv(self.n_keypoints, (1, 1), dtype=dt, name="conv2")(h)
+        h = h.astype(jnp.float32)
+        r, hh, ww, c = h.shape
+        # chainer F.resize_images is bilinear align_corners=True; JAX's
+        # 'linear' is half-pixel — sub-pixel divergence on a 2x heatmap
+        # upsample, irrelevant to the argmax decode (documented quirk).
+        return jax.image.resize(h, (r, 2 * hh, 2 * ww, c), method="linear")
+
+
+class FPNKeypointHead(nn.Module):
+    n_class: int
+    n_keypoints: int = 17
+    n_mask_convs: int = 8
+    dtype: Any = jnp.float32
+
+    mask_size = 56
+    roi_size_box = 7
+    roi_size_mask = 14
+    class_agnostic_loc = True
+
+    def setup(self):
+        self.box = BoxBranch(self.n_class, 4, self.dtype)
+        self.mask = KeypointBranch(self.n_keypoints, self.n_mask_convs, self.dtype)
+
+    def __call__(self, pooled_box, pooled_mask=None):
+        locs, scores = self.box(pooled_box)
+        if pooled_mask is None:
+            return locs, scores, None
+        return locs, scores, self.mask(pooled_mask)
+
+    def predict_mask(self, pooled_mask):
+        return self.mask(pooled_mask)

@@ -1,0 +1,177 @@
+"""MaskRCNN facade: backbone + RPN + head behind one flax module.
+
+Spec: reference ``MaskRCNN(FasterRCNN)``
+(chainer_maskrcnn/model/maskrcnn.py:23-312) — backbone/head selection,
+forward with train/eval branching, two-pass predict. Differences by design:
+
+- composition is config-driven (:52-124's string-keyed constructor branches
+  → ``maskrcnn_tpu.config.Config`` presets),
+- the module is FUNCTIONAL: no ``self.x`` feature caching for the second
+  pass (:87 in fpn_roi_mask_head.py) — ``predict`` in
+  ``maskrcnn_tpu/eval/predict.py`` threads features explicitly,
+- pooling is the batched multilevel ROIAlign (one op for all ROIs/levels),
+- everything is fixed-shape: proposals live in (B, R) padded slots.
+
+Methods are exposed for composition via ``module.apply(..., method=...)``:
+``extract``, ``rpn``, ``head_box``, ``head_full``, ``head_mask`` — the train
+step and predict pipeline assemble them around the non-learned glue ops
+(proposal generation, target sampling) which need no parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.models.backbones.fpn import build_backbone
+from maskrcnn_tpu.models.heads import (
+    FPNKeypointHead,
+    FPNMaskHead,
+    LightHead,
+    Res5Head,
+)
+from maskrcnn_tpu.models.rpn import RPNHead
+from maskrcnn_tpu.ops import multilevel_roi_align
+
+
+_BACKBONE_STRIDES = {
+    "fpn": (4, 8, 16, 32, 64),
+    "c4": (16,),
+    "darknet": (16,),
+}
+
+
+def backbone_geometry(cfg: Config) -> tuple[tuple[int, ...], tuple[float, ...]]:
+    """Static (feat_strides, spatial_scales) for a config — usable before any
+    module is bound (flax properties only resolve inside apply)."""
+    strides = _BACKBONE_STRIDES[cfg.model.backbone]
+    return strides, tuple(1.0 / s for s in strides)
+
+
+def build_head(cfg: Config, dtype) -> nn.Module:
+    m = cfg.model
+    if m.head == "fpn":
+        return FPNMaskHead(m.n_class, m.n_mask_convs, dtype)
+    if m.head == "fpn_keypoint":
+        return FPNKeypointHead(m.n_class, m.n_keypoints, m.n_mask_convs, dtype)
+    if m.head == "light":
+        return LightHead(m.n_class, dtype=dtype)
+    if m.head == "res5":
+        return Res5Head(m.n_class, m.freeze_bn, dtype)
+    raise ValueError(f"unknown head {m.head!r}")
+
+
+class MaskRCNN(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        m = self.cfg.model
+        dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
+        self.extractor = build_backbone(m.backbone, m.fpn_channels,
+                                        m.freeze_bn, dtype)
+        self.rpn_head = RPNHead(
+            mid_channels=256,
+            n_anchor=len(self.cfg.anchors.ratios),
+            dtype=dtype,
+        )
+        self.head = build_head(self.cfg, dtype)
+
+    # ---- static geometry -------------------------------------------------
+    @property
+    def feat_strides(self) -> tuple[int, ...]:
+        return self.extractor.feat_strides
+
+    @property
+    def spatial_scales(self) -> tuple[float, ...]:
+        return self.extractor.spatial_scales
+
+    def feat_shapes(self, img_size: tuple[int, int]) -> list[tuple[int, int]]:
+        return [
+            (img_size[0] // s, img_size[1] // s) for s in self.feat_strides
+        ]
+
+    # ---- composable stages ------------------------------------------------
+    def extract(self, images: jnp.ndarray, train: bool = False):
+        """images (B, H, W, 3) → list of pyramid features (fine→coarse)."""
+        return self.extractor(images, train)
+
+    def rpn(self, features):
+        """features → (rpn_locs (B, A, 4), rpn_scores (B, A, 2))."""
+        return self.rpn_head(features)
+
+    def pool(self, features, rois, roi_batch_idx, roi_levels, out_size):
+        """Batched multilevel ROIAlign over flattened (B·R,) ROI slots."""
+        scales = self.spatial_scales
+        if getattr(self.head, "needs_thin_map", False):
+            features = [self.head.thin_map(features[0])]
+            scales = (self.spatial_scales[0],)
+        return multilevel_roi_align(
+            features, rois, roi_batch_idx, roi_levels, out_size, scales
+        )
+
+    def head_box(self, features, rois, roi_batch_idx, roi_levels):
+        """Pass-1 head: pooled box branch only → (locs, scores)."""
+        pooled = self.pool(features, rois, roi_batch_idx, roi_levels,
+                           (self.head.roi_size_box, self.head.roi_size_box))
+        locs, scores, _ = self.head(pooled)
+        return locs, scores
+
+    def head_full(self, features, rois, roi_batch_idx, roi_levels,
+                  train: bool = False):
+        """Train-path head: box + mask branches → (locs, scores, masks)."""
+        pooled_box = self.pool(
+            features, rois, roi_batch_idx, roi_levels,
+            (self.head.roi_size_box, self.head.roi_size_box))
+        pooled_mask = self.pool(
+            features, rois, roi_batch_idx, roi_levels,
+            (self.head.roi_size_mask, self.head.roi_size_mask))
+        if isinstance(self.head, Res5Head):
+            return self.head(pooled_box, pooled_mask, train)
+        return self.head(pooled_box, pooled_mask)
+
+    def head_mask(self, features, rois, roi_batch_idx, roi_levels):
+        """Pass-2 head: mask branch on refined boxes (reference
+        predict_mask, fpn_roi_mask_head.py:90-102)."""
+        pooled = self.pool(features, rois, roi_batch_idx, roi_levels,
+                           (self.head.roi_size_mask, self.head.roi_size_mask))
+        return self.head.predict_mask(pooled)
+
+    # ---- default entry (single-chip forward, used by __graft_entry__) -----
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """Backbone + RPN forward (the jit-compilable core graph)."""
+        features = self.extract(images, train)
+        rpn_locs, rpn_scores = self.rpn(features)
+        return features, rpn_locs, rpn_scores
+
+    def init_forward(self, images: jnp.ndarray):
+        """Touches every parameterized branch — use as the ``method=`` for
+        ``module.init`` so backbone, RPN, AND head params all materialize."""
+        features, rpn_locs, rpn_scores = self(images, train=False)
+        h, w = images.shape[1], images.shape[2]
+        rois = jnp.asarray(
+            [[0.1 * h, 0.1 * w, 0.8 * h, 0.8 * w]] * 2, jnp.float32
+        )
+        batch_idx = jnp.zeros((2,), jnp.int32)
+        levels = jnp.zeros((2,), jnp.int32)
+        return self.head_full(features, rois, batch_idx, levels)
+
+
+def prepare_image(img_chw, min_size: int = 600, max_size: int = 1000):
+    """Host-side resize + /255 normalize (reference maskrcnn.py:261-276).
+
+    Returns (img float32 HWC in [0,1], scale). NOTE the reference passes a
+    pixel mean to its base class but actually divides by 255 (:130-131 vs
+    :274) — we reproduce the /255 behavior.
+    """
+    import numpy as np
+    import cv2
+
+    c, h, w = img_chw.shape
+    scale = min(min_size / min(h, w), max_size / max(h, w))
+    img = img_chw.transpose(1, 2, 0)
+    img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                     interpolation=cv2.INTER_LINEAR)
+    return img.astype(np.float32) / 255.0, scale

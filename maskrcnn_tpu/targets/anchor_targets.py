@@ -1,0 +1,103 @@
+"""On-device AnchorTargetCreator — RPN training targets.
+
+Spec: chainercv ``AnchorTargetCreator`` as used by the reference train chain
+(reference chainer_maskrcnn/model/fpn_maskrcnn_train_chain.py:81-85, applied
+to the concatenation of all pyramid levels' anchors at once; hyperparams in
+SURVEY §2c): 256 sampled anchors per image, pos_iou ≥ 0.7 (plus the
+highest-IoU anchor per GT), neg < 0.3, pos_ratio 0.5, anchors not fully
+inside the image ignored (label −1).
+
+TPU-native: fixed shapes (labels over ALL anchors with −1 ignore — the
+"sampling" is a random disable of surplus anchors, which is exactly
+chainercv's `_unmap`-free inner behavior), stateless PRNG, vmapped over
+batch. The reference runs this on host CPU per image per step; here it's
+fused into the jitted train step.
+
+Random subsampling uses the random-priority trick: surplus positives
+(negatives) to disable are chosen by ranking uniform random priorities —
+equivalent in distribution to ``np.random.choice(replace=False)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.ops import bbox2loc, box_iou
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray  # (B, A) int32: 1 pos, 0 neg, -1 ignore
+    locs: jnp.ndarray  # (B, A, 4) float32 bbox2loc targets (pos rows valid)
+
+
+def _rank_of(priority: jnp.ndarray) -> jnp.ndarray:
+    """rank_of[i] = position of i in descending-priority order."""
+    n = priority.shape[0]
+    order = jnp.argsort(-priority)
+    return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_sample", "pos_ratio"))
+def anchor_targets(
+    key: jax.Array,
+    anchors: jnp.ndarray,  # (A, 4) static per compile
+    gt_boxes: jnp.ndarray,  # (B, G, 4) padded
+    gt_valid: jnp.ndarray,  # (B, G) bool
+    img_hw: jnp.ndarray,  # (B, 2) true content extent
+    n_sample: int = 256,
+    pos_iou_thresh: float = 0.7,
+    neg_iou_thresh: float = 0.3,
+    pos_ratio: float = 0.5,
+) -> AnchorTargets:
+    b = gt_boxes.shape[0]
+    keys = jax.random.split(key, b)
+
+    def per_image(k, gt_i, gt_valid_i, hw_i):
+        inside = (
+            (anchors[:, 0] >= 0)
+            & (anchors[:, 1] >= 0)
+            & (anchors[:, 2] <= hw_i[0])
+            & (anchors[:, 3] <= hw_i[1])
+        )  # (A,)
+
+        iou = box_iou(anchors, gt_i)  # (A, G)
+        iou = jnp.where(gt_valid_i[None, :], iou, -1.0)
+        any_gt = gt_valid_i.any()
+
+        argmax_gt = jnp.argmax(iou, axis=1)  # (A,)
+        max_iou = jnp.max(iou, axis=1)
+        max_iou = jnp.where(any_gt, max_iou, 0.0)
+
+        # chainercv: anchors achieving the per-GT max IoU are positive
+        # (ties included), plus the >= pos_iou_thresh ones.
+        gt_max = jnp.max(jnp.where(inside[:, None], iou, -1.0), axis=0)  # (G,)
+        is_gt_argmax = (
+            (iou >= gt_max[None, :] - 1e-7) & gt_valid_i[None, :] & (gt_max[None, :] > 0)
+        ).any(axis=1)
+
+        label = jnp.full(anchors.shape[0], -1, jnp.int32)
+        label = jnp.where(inside & (max_iou < neg_iou_thresh), 0, label)
+        label = jnp.where(inside & (is_gt_argmax | (max_iou >= pos_iou_thresh)), 1, label)
+
+        # Subsample positives to n_sample*pos_ratio.
+        k1, k2 = jax.random.split(k)
+        n_pos_cap = int(n_sample * pos_ratio)
+        pos = label == 1
+        pri = jnp.where(pos, jax.random.uniform(k1, pos.shape), -1.0)
+        label = jnp.where(pos & (_rank_of(pri) >= n_pos_cap), -1, label)
+
+        # Subsample negatives to n_sample - kept positives.
+        n_pos = (label == 1).sum()
+        neg = label == 0
+        pri = jnp.where(neg, jax.random.uniform(k2, neg.shape), -1.0)
+        label = jnp.where(neg & (_rank_of(pri) >= n_sample - n_pos), -1, label)
+
+        locs = bbox2loc(anchors, gt_i[argmax_gt])
+        return label, locs
+
+    labels, locs = jax.vmap(per_image)(keys, gt_boxes, gt_valid, img_hw)
+    return AnchorTargets(labels, locs)

@@ -1,0 +1,218 @@
+"""On-device ProposalTargetCreator — head training targets.
+
+Spec: reference ``ProposalTargetCreator``
+(chainer_maskrcnn/utils/proposal_target_creator.py:26-137), which runs
+entirely on host CPU with numpy/cv2 and per-step device round-trips
+(:40-44,131-136). This rebuild keeps the exact sampling semantics but runs
+fixed-shape on device inside the jitted train step:
+
+- GT boxes are appended to the proposals (:48) and given FPN levels (:50-52),
+- IoU argmax assignment, labels shifted +1 with bg=0 (:55-60,83),
+- sample ``n_sample`` ROIs at ``pos_ratio`` — positives IoU ≥ 0.5, negatives
+  in [lo, hi) — via stateless random-priority top-k instead of
+  ``np.random.choice`` (:63-78); output slots are positives-first then
+  negatives, with a validity mask where the reference would return fewer
+  rows,
+- loc targets ``bbox2loc`` normalized by mean/std (:88-90).
+
+Mask targets (reference :95-103 crops the full-res GT mask with cv2.resize)
+are built by bilinear resampling of per-GT fixed-size mask crops — the
+standard on-device equivalent (SURVEY §7 hard-part 3); keypoint targets
+reproduce the bin encoding of :104-127 (label = y·S+x in the ROI-local S×S
+grid, −1 ignore unless v==2 and in-bounds).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.ops import bbox2loc, box_iou, map_rois_to_fpn_levels
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray  # (B, n, 4)
+    levels: jnp.ndarray  # (B, n) int32
+    labels: jnp.ndarray  # (B, n) int32, 0 = background
+    locs: jnp.ndarray  # (B, n, 4) normalized
+    assignment: jnp.ndarray  # (B, n) int32 index into GT slots
+    is_pos: jnp.ndarray  # (B, n) bool
+    valid: jnp.ndarray  # (B, n) bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sample", "pos_ratio", "n_levels"),
+)
+def proposal_targets(
+    key: jax.Array,
+    rois: jnp.ndarray,  # (B, R, 4)
+    roi_valid: jnp.ndarray,  # (B, R) bool
+    roi_levels: jnp.ndarray,  # (B, R) int32
+    gt_boxes: jnp.ndarray,  # (B, G, 4) padded
+    gt_labels: jnp.ndarray,  # (B, G) int32, 0-based fg classes
+    gt_valid: jnp.ndarray,  # (B, G) bool
+    n_sample: int = 256,
+    pos_ratio: float = 0.25,
+    pos_iou_thresh: float = 0.5,
+    neg_iou_thresh_hi: float = 0.5,
+    neg_iou_thresh_lo: float = 0.0,
+    loc_normalize_mean: tuple = (0.0, 0.0, 0.0, 0.0),
+    loc_normalize_std: tuple = (0.1, 0.1, 0.2, 0.2),
+    n_levels: int = 5,
+) -> ProposalTargets:
+    b, r, _ = rois.shape
+    g = gt_boxes.shape[1]
+    keys = jax.random.split(key, b)
+    n_pos_cap = int(round(n_sample * pos_ratio))
+    mean = jnp.asarray(loc_normalize_mean, jnp.float32)
+    std = jnp.asarray(loc_normalize_std, jnp.float32)
+
+    def per_image(k, roi_i, rvalid_i, rlvl_i, gt_i, glabel_i, gvalid_i):
+        # Append GT boxes as candidate ROIs (reference :48-52).
+        all_rois = jnp.concatenate([roi_i, gt_i], axis=0)  # (R+G, 4)
+        all_valid = jnp.concatenate([rvalid_i, gvalid_i])
+        gt_levels = map_rois_to_fpn_levels(gt_i, 0, n_levels - 1)
+        all_levels = jnp.concatenate([rlvl_i, gt_levels])
+
+        iou = box_iou(all_rois, gt_i)
+        iou = jnp.where(gvalid_i[None, :], iou, -1.0)
+        assignment = jnp.argmax(iou, axis=1)  # (R+G,)
+        max_iou = jnp.where(gvalid_i.any(), jnp.max(iou, axis=1), 0.0)
+
+        labels_all = glabel_i[assignment] + 1  # bg=0 convention
+
+        is_pos = all_valid & (max_iou >= pos_iou_thresh)
+        is_neg = (
+            all_valid
+            & (max_iou < neg_iou_thresh_hi)
+            & (max_iou >= neg_iou_thresh_lo)
+        )
+
+        n_pos = jnp.minimum(n_pos_cap, is_pos.sum()).astype(jnp.int32)
+        n_neg = jnp.minimum(n_sample - n_pos, is_neg.sum()).astype(jnp.int32)
+
+        k1, k2 = jax.random.split(k)
+        pos_pri = jnp.where(is_pos, jax.random.uniform(k1, is_pos.shape), -1.0)
+        neg_pri = jnp.where(is_neg, jax.random.uniform(k2, is_neg.shape), -1.0)
+        pos_order = jnp.argsort(-pos_pri).astype(jnp.int32)  # (R+G,)
+        neg_order = jnp.argsort(-neg_pri).astype(jnp.int32)
+
+        slot = jnp.arange(n_sample, dtype=jnp.int32)
+        slot_is_pos = slot < n_pos
+        neg_slot = jnp.clip(slot - n_pos, 0, all_rois.shape[0] - 1)
+        idx = jnp.where(slot_is_pos, pos_order[slot], neg_order[neg_slot])
+        valid = slot_is_pos | ((slot - n_pos) < n_neg)
+
+        s_rois = all_rois[idx]
+        s_levels = jnp.where(valid, all_levels[idx], 0)
+        s_assign = jnp.where(valid, assignment[idx], 0)
+        s_labels = jnp.where(slot_is_pos, labels_all[idx], 0)
+        s_labels = jnp.where(valid, s_labels, 0)
+
+        locs = bbox2loc(s_rois, gt_i[s_assign])
+        locs = (locs - mean) / std
+        return s_rois, s_levels, s_labels, locs, s_assign, slot_is_pos, valid
+
+    out = jax.vmap(per_image)(
+        keys, rois, roi_valid, roi_levels, gt_boxes, gt_labels, gt_valid
+    )
+    return ProposalTargets(*out)
+
+
+def _bilinear_2d(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample (S, S) image at float coords; out-of-range clamps to border."""
+    s_h, s_w = img.shape
+    y = jnp.clip(ys, 0.0, s_h - 1.0)
+    x = jnp.clip(xs, 0.0, s_w - 1.0)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1 = jnp.minimum(y0 + 1, s_h - 1.0)
+    x1 = jnp.minimum(x0 + 1, s_w - 1.0)
+    ly, lx = y - y0, x - x0
+    y0i, x0i, y1i, x1i = (a.astype(jnp.int32) for a in (y0, x0, y1, x1))
+    v = (
+        img[y0i, x0i] * (1 - ly) * (1 - lx)
+        + img[y0i, x1i] * (1 - ly) * lx
+        + img[y1i, x0i] * ly * (1 - lx)
+        + img[y1i, x1i] * ly * lx
+    )
+    # Points outside the crop's support are background.
+    outside = (ys < -0.5) | (ys > s_h - 0.5) | (xs < -0.5) | (xs > s_w - 0.5)
+    return jnp.where(outside, 0.0, v)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_size",))
+def mask_targets(
+    sample: ProposalTargets,
+    gt_masks: jnp.ndarray,  # (B, G, S, S) float in [0,1]: GT mask cropped to its GT box
+    gt_boxes: jnp.ndarray,  # (B, G, 4)
+    mask_size: int = 28,
+) -> jnp.ndarray:
+    """(B, n, mask_size, mask_size) binary float targets.
+
+    Equivalent of reference :95-103 (crop GT mask to the sampled ROI +
+    cv2.resize): each output cell samples the GT's fixed-size mask crop at
+    the cell center, mapped ROI→GT-box coordinates, thresholded at 0.5.
+    """
+    s = gt_masks.shape[-1]
+
+    def per_roi(roi, gmask, gbox):
+        gy0, gx0, gy1, gx1 = gbox
+        gh = jnp.maximum(gy1 - gy0, 1e-3)
+        gw = jnp.maximum(gx1 - gx0, 1e-3)
+        cell = (jnp.arange(mask_size, dtype=jnp.float32) + 0.5) / mask_size
+        ys = roi[0] + cell * (roi[2] - roi[0])  # image coords of cell centers
+        xs = roi[1] + cell * (roi[3] - roi[1])
+        # into the GT crop's pixel frame (half-pixel convention)
+        vs = (ys - gy0) / gh * s - 0.5
+        us = (xs - gx0) / gw * s - 0.5
+        grid_v = jnp.broadcast_to(vs[:, None], (mask_size, mask_size))
+        grid_u = jnp.broadcast_to(us[None, :], (mask_size, mask_size))
+        return (_bilinear_2d(gmask, grid_v, grid_u) >= 0.5).astype(jnp.float32)
+
+    def per_image(rois_i, assign_i, gmasks_i, gboxes_i):
+        return jax.vmap(per_roi)(
+            rois_i, gmasks_i[assign_i], gboxes_i[assign_i]
+        )
+
+    return jax.vmap(per_image)(
+        sample.rois, sample.assignment, gt_masks, gt_boxes
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mask_size",))
+def keypoint_targets(
+    sample: ProposalTargets,
+    gt_keypoints: jnp.ndarray,  # (B, G, K, 3) — (y, x, v) in image coords
+    mask_size: int = 56,
+) -> jnp.ndarray:
+    """(B, n, K) int32 bin labels in [0, mask_size²) or −1 ignore.
+
+    Reference :104-127: keypoint (y, x) mapped into the ROI-local S×S grid,
+    label = y·S + x when v == 2 and in-bounds, else −1. The reference
+    truncates via ``int()`` (toward zero) after int-truncating the ROI
+    coords; we use trunc on float coords — identical on in-bounds values.
+    """
+
+    def per_roi(roi, kps):
+        y0, x0, y1, x1 = jnp.trunc(roi)
+        h = jnp.maximum(y1 - y0, 1.0)
+        w = jnp.maximum(x1 - x0, 1.0)
+        yy = jnp.trunc((kps[:, 0] - y0) / h * mask_size).astype(jnp.int32)
+        xx = jnp.trunc((kps[:, 1] - x0) / w * mask_size).astype(jnp.int32)
+        v = kps[:, 2].astype(jnp.int32)
+        ok = (
+            (v == 2)
+            & (yy >= 0) & (yy < mask_size)
+            & (xx >= 0) & (xx < mask_size)
+        )
+        return jnp.where(ok, yy * mask_size + xx, -1)
+
+    def per_image(rois_i, assign_i, kps_i):
+        return jax.vmap(per_roi)(rois_i, kps_i[assign_i])
+
+    return jax.vmap(per_image)(sample.rois, sample.assignment, gt_keypoints)

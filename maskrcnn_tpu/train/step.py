@@ -1,0 +1,209 @@
+"""The single jitted train step — the whole reference iteration on device.
+
+Replaces the reference's per-step host choreography (SURVEY §3.1: cv2
+transforms → GPU forward → CPU ProposalTargetCreator → GPU head → backward
+with 512 per-ROI kernel launches) with ONE ``jax.jit`` graph:
+
+    backbone → RPN → proposals (NMS on device) → anchor+proposal targets
+    (stateless PRNG) → batched ROIAlign head → 5-term loss → grad → SGD.
+
+Batch size is free (the reference asserts batch==1,
+fpn_maskrcnn_train_chain.py:38-40). Data parallelism: the same step runs
+under ``jax.jit`` with sharded batch inputs over a Mesh — see
+``maskrcnn_tpu/parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.models import MaskRCNN, anchors_for, generate_proposals
+from maskrcnn_tpu.models.maskrcnn import backbone_geometry
+from maskrcnn_tpu.targets import (
+    anchor_targets,
+    keypoint_targets,
+    mask_targets,
+    proposal_targets,
+)
+from maskrcnn_tpu.train import losses as L
+from maskrcnn_tpu.train.state import TrainState, make_optimizer
+
+
+class Batch(NamedTuple):
+    """One fixed-shape device batch. Padded everywhere; masks carry truth."""
+
+    images: jnp.ndarray  # (B, H, W, 3) float32 in [0,1]
+    img_hw: jnp.ndarray  # (B, 2) float32 true content extent
+    scale: jnp.ndarray  # (B,) resize scale (for the min-size filter)
+    gt_boxes: jnp.ndarray  # (B, G, 4)
+    gt_labels: jnp.ndarray  # (B, G) int32 0-based fg class
+    gt_valid: jnp.ndarray  # (B, G) bool
+    gt_masks: jnp.ndarray | None = None  # (B, G, S, S) float box-crops
+    gt_keypoints: jnp.ndarray | None = None  # (B, G, K, 3) (y, x, v)
+
+
+def _flatten_rois(sample_rois, sample_levels):
+    """(B, n, ·) ROI slots → flat (B·n, ·) + batch indices for pooling."""
+    b, n, _ = sample_rois.shape
+    rois = sample_rois.reshape(b * n, 4)
+    levels = sample_levels.reshape(b * n)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    return rois, levels, batch_idx
+
+
+def make_train_step(cfg: Config, model: MaskRCNN):
+    """Build the jitted train step for a config. Anchors are trace-time
+    constants derived from the static image bucket.
+
+    NOTE: the returned step donates its ``state`` argument (in-place param
+    update, halves HBM traffic). Always rebind: ``state, metrics =
+    step(state, batch)`` — reusing a donated state crashes with an opaque
+    TPU InvalidArgument error."""
+    h, w = cfg.train.image_size
+    feat_strides, _ = backbone_geometry(cfg)
+    feat_shapes = [(h // s, w // s) for s in feat_strides]
+    anchors = jnp.asarray(anchors_for(cfg, feat_shapes, feat_strides))
+    n_levels = len(feat_shapes)
+    is_keypoint = cfg.model.head == "fpn_keypoint"
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch: Batch, key):
+        k_prop, k_anchor = jax.random.split(key)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        (features, rpn_locs, rpn_scores), mut = model.apply(
+            variables, batch.images, True, mutable=["batch_stats"]
+        )
+
+        # Proposals see no gradient (two-stage detectors decouple here,
+        # as does the reference via its numpy ProposalCreator).
+        props = generate_proposals(
+            jax.lax.stop_gradient(rpn_locs),
+            jax.lax.stop_gradient(rpn_scores),
+            anchors,
+            batch.scale,
+            batch.img_hw,
+            n_pre=cfg.proposals.n_train_pre_nms,
+            n_post=cfg.proposals.n_train_post_nms,
+            nms_thresh=cfg.proposals.nms_thresh,
+            min_size=cfg.proposals.min_size,
+            n_levels=n_levels,
+        )
+
+        sample = proposal_targets(
+            k_prop,
+            props.rois,
+            props.valid,
+            props.levels,
+            batch.gt_boxes,
+            batch.gt_labels,
+            batch.gt_valid,
+            n_sample=cfg.sampler.n_sample,
+            pos_ratio=cfg.sampler.pos_ratio,
+            pos_iou_thresh=cfg.sampler.pos_iou_thresh,
+            neg_iou_thresh_hi=cfg.sampler.neg_iou_thresh_hi,
+            neg_iou_thresh_lo=cfg.sampler.neg_iou_thresh_lo,
+            loc_normalize_mean=cfg.sampler.loc_normalize_mean,
+            loc_normalize_std=cfg.sampler.loc_normalize_std,
+            n_levels=n_levels,
+        )
+
+        rois, levels, batch_idx = _flatten_rois(sample.rois, sample.levels)
+        (roi_cls_locs, roi_scores, roi_masks), mut2 = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            features, rois, batch_idx, levels, True,
+            mutable=["batch_stats"],
+            method=MaskRCNN.head_full,
+        )
+
+        at = anchor_targets(
+            k_anchor, anchors, batch.gt_boxes, batch.gt_valid, batch.img_hw,
+            n_sample=cfg.anchor_targets.n_sample,
+            pos_iou_thresh=cfg.anchor_targets.pos_iou_thresh,
+            neg_iou_thresh=cfg.anchor_targets.neg_iou_thresh,
+            pos_ratio=cfg.anchor_targets.pos_ratio,
+        )
+
+        # ---- RPN losses (σ=3; fpn_maskrcnn_train_chain.py:83-85) ----
+        a = anchors.shape[0]
+        b = batch.images.shape[0]
+        rpn_loc_loss = L.fast_rcnn_loc_loss(
+            rpn_locs.reshape(b * a, 4),
+            at.locs.reshape(b * a, 4),
+            at.labels.reshape(b * a),
+            sigma=3.0,
+        )
+        rpn_cls_loss = L.softmax_ce_ignore(
+            rpn_scores.reshape(b * a, 2), at.labels.reshape(b * a)
+        )
+
+        # ---- head losses (σ=1; :88-102) ----
+        cls_labels = jnp.where(sample.valid, sample.labels, -1).reshape(-1)
+        roi_loc = L.select_roi_locs(roi_cls_locs, cls_labels)
+        roi_loc_loss = L.fast_rcnn_loc_loss(
+            roi_loc, sample.locs.reshape(-1, 4), cls_labels, sigma=1.0
+        )
+        roi_cls_loss = L.softmax_ce_ignore(roi_scores, cls_labels)
+
+        # ---- mask / keypoint loss (injected in reference; train.py:50-58) --
+        pos_flat = (sample.is_pos & sample.valid).reshape(-1)
+        if is_keypoint:
+            kp_t = keypoint_targets(
+                sample, batch.gt_keypoints, mask_size=cfg.model.mask_size
+            )
+            mask_loss = L.keypoint_ce_loss(
+                roi_masks, kp_t.reshape(-1, kp_t.shape[-1]), pos_flat
+            )
+        else:
+            m_t = mask_targets(
+                sample, batch.gt_masks, batch.gt_boxes,
+                mask_size=cfg.model.mask_size,
+            )
+            s = cfg.model.mask_size
+            mask_loss = L.sigmoid_mask_loss(
+                roi_masks, m_t.reshape(-1, s, s),
+                sample.labels.reshape(-1), pos_flat,
+            )
+
+        total = rpn_loc_loss + rpn_cls_loss + roi_loc_loss + roi_cls_loss + mask_loss
+        bd = L.LossBreakdown(
+            total, rpn_loc_loss, rpn_cls_loss, roi_loc_loss, roi_cls_loss,
+            mask_loss,
+        )
+        return total, (bd, mut2["batch_stats"])
+
+    def train_step(state: TrainState, batch: Batch):
+        key, new_key = jax.random.split(state.key)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (bd, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            key=new_key,
+        )
+        return new_state, bd._asdict()
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def init_model(cfg: Config, key: jax.Array):
+    """Initialize model variables on the static image bucket."""
+    model = MaskRCNN(cfg)
+    h, w = cfg.train.image_size
+    dummy = jnp.zeros((cfg.train.batch_size, h, w, 3), jnp.float32)
+    variables = model.init(key, dummy, method=MaskRCNN.init_forward)
+    return model, variables

@@ -1,0 +1,92 @@
+"""End-to-end train-step tests: the minimum slice from SURVEY §7 —
+darknet backbone + RPN + FPN mask head, batch 2, synthetic data, one jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskrcnn_tpu import config as cfg_lib
+from maskrcnn_tpu.data import SyntheticDetectionData
+from maskrcnn_tpu.train import create_train_state, init_model, make_train_step
+
+
+def _to_device(batch):
+    return jax.tree.map(jnp.asarray, batch)
+
+
+class TestTrainStep:
+    def test_tiny_mask_step_runs_and_losses_finite(self):
+        cfg = cfg_lib.tiny_test()
+        model, variables = init_model(cfg, jax.random.key(0))
+        state = create_train_state(cfg, variables, jax.random.key(1))
+        step = make_train_step(cfg, model)
+        data = SyntheticDetectionData(cfg)
+
+        state, metrics = step(state, _to_device(data.batch(0)))
+        for name, v in metrics.items():
+            assert np.isfinite(float(v)), f"{name} not finite"
+        assert float(metrics["loss"]) > 0
+        assert int(state.step) == 1
+
+    def test_loss_decreases_over_steps(self):
+        # Overfit a single tiny batch — total loss must drop.
+        cfg = cfg_lib.tiny_test()
+        model, variables = init_model(cfg, jax.random.key(0))
+        state = create_train_state(cfg, variables, jax.random.key(1))
+        step = make_train_step(cfg, model)
+        batch = _to_device(SyntheticDetectionData(cfg).batch(0))
+
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch)
+            if first is None:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(last)
+        assert last < first, (first, last)
+
+    def test_keypoint_step_runs(self):
+        cfg = cfg_lib.darknet_keypoint(n_keypoints=8)
+        # shrink to test scale
+        cfg = cfg_lib._rep(
+            cfg,
+            train=dict(batch_size=2, image_size=(128, 160), max_gt=4,
+                       gt_mask_size=56),
+            proposals=dict(n_train_pre_nms=256, n_train_post_nms=32),
+            sampler=dict(n_sample=16),
+        )
+        model, variables = init_model(cfg, jax.random.key(0))
+        state = create_train_state(cfg, variables, jax.random.key(1))
+        step = make_train_step(cfg, model)
+        data = SyntheticDetectionData(cfg)
+        state, metrics = step(state, _to_device(data.batch(0)))
+        for name, v in metrics.items():
+            assert np.isfinite(float(v)), f"{name} not finite"
+
+    def test_gradients_reach_backbone(self):
+        cfg = cfg_lib.tiny_test()
+        model, variables = init_model(cfg, jax.random.key(0))
+        state = create_train_state(cfg, variables, jax.random.key(1))
+        step = make_train_step(cfg, model)
+        batch = _to_device(SyntheticDetectionData(cfg).batch(0))
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+        state, _ = step(state, batch)
+        after = state.params
+
+        def changed(path_leafs):
+            b, a = path_leafs
+            return not np.allclose(np.asarray(b), np.asarray(a))
+
+        leaves_before = jax.tree.leaves(before)
+        leaves_after = jax.tree.leaves(after)
+        frac_changed = np.mean(
+            [changed((b, a)) for b, a in zip(leaves_before, leaves_after)]
+        )
+        # zero-init biases with zero grads legitimately stay put; everything
+        # else must move.
+        assert frac_changed > 0.85
+        # The first backbone conv specifically must receive gradient.
+        b0 = before["extractor"]["conv1"]["Conv_0"]["kernel"]
+        a0 = after["extractor"]["conv1"]["Conv_0"]["kernel"]
+        assert not np.allclose(np.asarray(b0), np.asarray(a0))
