@@ -1,0 +1,74 @@
+"""Headline benchmark: FPN Mask R-CNN training images/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/BASELINE}
+
+Baseline anchor (see BASELINE.md): the reference publishes no numbers; its
+default config is batch-1 Mask R-CNN FPN/ResNet-50 on an AWS p2.xlarge (K80).
+Contemporary measurements of equivalent Chainer/Caffe2 Mask R-CNN put that
+class of setup at ~1 image/sec — we anchor vs_baseline at 1.0 img/s and note
+the >10x target from BASELINE.json.
+
+Usage: python bench.py [--steps N] [--batch B] [--height H] [--width W]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--preset", default="fpn_mask")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu import config as cfg_lib
+    from maskrcnn_tpu.data import SyntheticDetectionData
+    from maskrcnn_tpu.train import create_train_state, init_model, make_train_step
+
+    cfg = cfg_lib.PRESETS[args.preset]()
+    cfg = cfg_lib._rep(
+        cfg,
+        train=dict(batch_size=args.batch, image_size=(args.height, args.width)),
+        model=dict(dtype=args.dtype),
+    )
+
+    model, variables = init_model(cfg, jax.random.key(0))
+    state = create_train_state(cfg, variables, jax.random.key(1))
+    step = make_train_step(cfg, model)
+    data = SyntheticDetectionData(cfg)
+    batch = jax.tree.map(jnp.asarray, data.batch(0))
+
+    # compile + warmup
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = args.batch * args.steps / dt
+    baseline = 1.0  # img/s; see BASELINE.md anchor note
+    print(json.dumps({
+        "metric": f"train_images_per_sec_{args.preset}_{args.height}x{args.width}_b{args.batch}",
+        "value": round(imgs_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

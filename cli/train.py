@@ -1,0 +1,179 @@
+"""Training CLI — mirrors the reference's train.py / train_keypoints.py flags.
+
+Spec: reference train.py:62-76 (gpu, lr, out, iteration, weight, label_file,
+backbone, head-arch, batch-size...) and train_keypoints.py:73-91 (+
+n_mask_convs, min/max size). TPU-native: one flag set for both mask and
+keypoint training (the preset selects the head), data parallel over all
+visible chips with --data-parallel, full-state checkpoints, JSONL metrics.
+
+Run (synthetic data smoke):
+  python cli/train.py --preset tiny_test --iterations 50 --out /tmp/run
+Real data:
+  python cli/train.py --preset fpn_mask --coco-root /data/coco --out runs/fpn
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fpn_mask",
+                   choices=["fpn_mask", "fpn_keypoint", "light_head",
+                            "c4_res5", "darknet_keypoint", "tiny_test"])
+    p.add_argument("--out", default="result",
+                   help="output dir (reference --out)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="training iterations (reference --iteration 200000)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--weight", default=None,
+                   help="checkpoint path for warm start (reference --weight)")
+    p.add_argument("--resume", action="store_true",
+                   help="exact resume from latest checkpoint in --out")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all visible devices")
+    p.add_argument("--snapshot-every", type=int, default=5000,
+                   help="checkpoint interval (reference: 5000)")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "coco", "depth"])
+    p.add_argument("--coco-root", default=None)
+    p.add_argument("--coco-split", default="train2014")
+    p.add_argument("--depth-manifest", default=None,
+                   help="txt list of npz files (reference DepthDataset)")
+    p.add_argument("--label-file", default="data/label_coco.txt",
+                   help="class-name list (reference --label_file)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-20")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu import config as cfg_lib
+    from maskrcnn_tpu.train import (
+        create_train_state,
+        init_model,
+        lr_schedule,
+        make_train_step,
+    )
+    from maskrcnn_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_params_only,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from maskrcnn_tpu.utils import MetricLogger, trace_context
+
+    cfg = cfg_lib.PRESETS[args.preset]()
+    train_over = {}
+    if args.iterations is not None:
+        train_over["iterations"] = args.iterations
+    if args.lr is not None:
+        train_over["lr"] = args.lr
+    if args.batch_size is not None:
+        train_over["batch_size"] = args.batch_size
+    if train_over:
+        cfg = cfg_lib._rep(cfg, train=train_over)
+
+    os.makedirs(args.out, exist_ok=True)
+    # persist the effective config (chainerui save_args equivalent,
+    # reference train.py:168)
+    import json
+
+    with open(os.path.join(args.out, "args.json"), "w") as f:
+        json.dump(
+            {"cli": vars(args), "config": dataclasses.asdict(cfg)}, f,
+            indent=2, default=str,
+        )
+
+    model, variables = init_model(cfg, jax.random.key(args.seed))
+    state = create_train_state(cfg, variables, jax.random.key(args.seed + 1))
+
+    if args.resume:
+        path = latest_checkpoint(os.path.join(args.out, "checkpoints"))
+        if path:
+            state = restore_checkpoint(path, state)
+            print(f"resumed from {path} at step {int(state.step)}")
+    elif args.weight:
+        state = load_params_only(args.weight, state)
+        print(f"warm-started params from {args.weight}")
+
+    if args.dataset == "synthetic":
+        from maskrcnn_tpu.data import SyntheticDetectionData
+
+        data = SyntheticDetectionData(cfg, seed=args.seed)
+        batches = iter(data)
+    elif args.dataset == "depth":
+        from maskrcnn_tpu.data.depth import DepthKeypointDataset
+
+        data = DepthKeypointDataset(cfg, args.depth_manifest, seed=args.seed)
+        batches = iter(data)
+    else:
+        from maskrcnn_tpu.data.coco import COCODetectionLoader
+
+        data = COCODetectionLoader(
+            args.coco_root, args.coco_split, cfg, seed=args.seed
+        )
+        batches = iter(data)
+
+    if args.data_parallel:
+        from maskrcnn_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+        step_fn = make_parallel_train_step(cfg, model, mesh)
+
+        def put(b):
+            return shard_batch(b, mesh)
+    else:
+        step_fn = make_train_step(cfg, model)
+
+        def put(b):
+            return jax.tree.map(
+                lambda x: None if x is None else jnp.asarray(x), b
+            )
+
+    sched = lr_schedule(cfg)
+    logger = MetricLogger(args.out, print_every=args.log_every)
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+
+    start = int(state.step)
+    for it in range(start, cfg.train.iterations):
+        batch = put(next(batches))
+        if args.profile_dir and it == start + 10:
+            jax.profiler.start_trace(args.profile_dir)
+        state, metrics = step_fn(state, batch)
+        if args.profile_dir and it == start + 20:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+        step_i = it + 1
+        if step_i % args.log_every == 0 or step_i == 1:
+            logger.log(step_i, {k: float(v) for k, v in metrics.items()},
+                       n_images=cfg.train.batch_size * args.log_every,
+                       lr=float(sched(step_i)))
+        if step_i % args.snapshot_every == 0 or step_i == cfg.train.iterations:
+            path = save_checkpoint(ckpt_dir, state, step_i)
+            print(f"saved {path}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,10 +31,12 @@ class ProposalConfig:
 
     nms_thresh: float = 0.7
     # Reference: 12000/2000 train, 6000/300 test. TPU keeps the post budgets
-    # and trims pre-NMS to what fits an O(N²) on-device NMS; configurable.
-    n_train_pre_nms: int = 6000
+    # and trims pre-NMS to what fits an O(N²) on-device NMS (the extra
+    # candidates past ~2000 are noise ranks that NMS discards anyway);
+    # configurable if full parity sweeps are wanted.
+    n_train_pre_nms: int = 2000
     n_train_post_nms: int = 1000
-    n_test_pre_nms: int = 6000
+    n_test_pre_nms: int = 1000
     n_test_post_nms: int = 300
     min_size: float = 16.0
 

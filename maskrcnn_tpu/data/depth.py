@@ -1,0 +1,124 @@
+"""Depth-camera keypoint dataset + augmentation.
+
+Spec: reference ``DepthDataset`` (chainer_maskrcnn/dataset/depth_dataset.py:
+7-61): npz files (keys ``depth``, ``keypoints``) listed one-per-line in a txt
+manifest; 20 keypoints; visibility synthesized (v=2 when a keypoint is
+finite/in-frame); bbox derived from the keypoint extent ±10 px; (x, y)
+swapped to (y, x); depth normalized (d−1000)/3000 and stacked to 3 channels.
+``DepthTransformer`` (utils/depth_transformer.py:4-10): additive uniform
+brightness jitter ±15/255 on the depth image.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.train.step import Batch
+
+
+class DepthKeypointDataset:
+    n_keypoints = 20
+
+    def __init__(self, cfg: Config, manifest: str, augment: bool = True,
+                 seed: int = 0):
+        self.cfg = cfg
+        root = os.path.dirname(os.path.abspath(manifest))
+        with open(manifest) as f:
+            self.files = [
+                os.path.join(root, line.strip())
+                for line in f if line.strip()
+            ]
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def get_example(self, i: int):
+        import cv2
+
+        cfg = self.cfg
+        data = np.load(self.files[i])
+        depth = data["depth"].astype(np.float32)
+        kp_xy = data["keypoints"].astype(np.float32)  # (K, 2) as (x, y)
+
+        img = np.clip((depth - 1000.0) / 3000.0, 0.0, 1.0)
+        if self.augment:
+            # DepthTransformer: ±15 (8-bit scale) brightness jitter
+            img = np.clip(img + self.rng.uniform(-15, 15) / 255.0, 0.0, 1.0)
+        img = np.stack([img, img, img], axis=-1)
+
+        h0, w0 = depth.shape
+        # visibility: keypoint recorded and inside the frame
+        vis = (
+            np.isfinite(kp_xy).all(axis=1)
+            & (kp_xy[:, 0] >= 0) & (kp_xy[:, 0] < w0)
+            & (kp_xy[:, 1] >= 0) & (kp_xy[:, 1] < h0)
+        )
+        kps = np.zeros((self.n_keypoints, 3), np.float32)
+        k = min(len(kp_xy), self.n_keypoints)
+        kps[:k, 0] = kp_xy[:k, 1]  # y
+        kps[:k, 1] = kp_xy[:k, 0]  # x
+        kps[:k, 2] = np.where(vis[:k], 2.0, 0.0)
+
+        vy = kps[kps[:, 2] == 2, 0]
+        vx = kps[kps[:, 2] == 2, 1]
+        if len(vy):
+            box = np.array([
+                max(vy.min() - 10, 0), max(vx.min() - 10, 0),
+                min(vy.max() + 10, h0), min(vx.max() + 10, w0),
+            ], np.float32)
+        else:
+            box = np.array([0, 0, h0, w0], np.float32)
+
+        # resize into the static bucket
+        bh, bw = cfg.train.image_size
+        scale = min(bh / h0, bw / w0)
+        nh, nw = int(h0 * scale), int(w0 * scale)
+        canvas = np.zeros((bh, bw, 3), np.float32)
+        canvas[:nh, :nw] = cv2.resize(img, (nw, nh))
+        box *= scale
+        kps[:, :2] *= scale
+
+        g = cfg.train.max_gt
+        boxes = np.zeros((g, 4), np.float32)
+        labels = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        all_kps = np.zeros((g, self.n_keypoints, 3), np.float32)
+        boxes[0] = box
+        valid[0] = True
+        all_kps[0] = kps
+        return dict(
+            image=canvas,
+            img_hw=np.array([nh, nw], np.float32),
+            scale=np.float32(scale),
+            gt_boxes=boxes,
+            gt_labels=labels,
+            gt_valid=valid,
+            gt_keypoints=all_kps,
+        )
+
+    def batch(self, indices) -> Batch:
+        ex = [self.get_example(i % len(self)) for i in indices]
+        stack = lambda k: np.stack([e[k] for e in ex])
+        return Batch(
+            images=stack("image"),
+            img_hw=stack("img_hw"),
+            scale=np.array([e["scale"] for e in ex], np.float32),
+            gt_boxes=stack("gt_boxes"),
+            gt_labels=stack("gt_labels"),
+            gt_valid=stack("gt_valid"),
+            gt_masks=None,
+            gt_keypoints=stack("gt_keypoints"),
+        )
+
+    def __iter__(self):
+        b = self.cfg.train.batch_size
+        order = np.arange(len(self))
+        while True:
+            self.rng.shuffle(order)
+            for i in range(0, len(order) - b + 1, b):
+                yield self.batch(order[i : i + b])

@@ -51,6 +51,24 @@ def backbone_geometry(cfg: Config) -> tuple[tuple[int, ...], tuple[float, ...]]:
     return strides, tuple(1.0 / s for s in strides)
 
 
+def pyramid_shapes(cfg: Config, image_size: tuple[int, int]) -> list[tuple[int, int]]:
+    """Exact per-level feature shapes for a static image bucket.
+
+    P2..P5 divide exactly (image buckets must be multiples of 32 for FPN /
+    16 for single-level backbones); P6 is a SAME-padded stride-2 1×1 conv on
+    P5 (reference feature_pyramid_network.py:32,68) so it's ceil(P5/2) —
+    naive ``h // 64`` is WRONG when h/32 is odd (e.g. 800 → P5=25 → P6=13).
+    """
+    h, w = image_size
+    if cfg.model.backbone == "fpn":
+        assert h % 32 == 0 and w % 32 == 0, "FPN buckets must be 32-aligned"
+        shapes = [(h // s, w // s) for s in (4, 8, 16, 32)]
+        shapes.append(((shapes[-1][0] + 1) // 2, (shapes[-1][1] + 1) // 2))
+        return shapes
+    assert h % 16 == 0 and w % 16 == 0, "buckets must be 16-aligned"
+    return [(h // 16, w // 16)]
+
+
 def build_head(cfg: Config, dtype) -> nn.Module:
     m = cfg.model
     if m.head == "fpn":
@@ -89,9 +107,7 @@ class MaskRCNN(nn.Module):
         return self.extractor.spatial_scales
 
     def feat_shapes(self, img_size: tuple[int, int]) -> list[tuple[int, int]]:
-        return [
-            (img_size[0] // s, img_size[1] // s) for s in self.feat_strides
-        ]
+        return pyramid_shapes(self.cfg, img_size)
 
     # ---- composable stages ------------------------------------------------
     def extract(self, images: jnp.ndarray, train: bool = False):

@@ -92,10 +92,14 @@ def box_iou(bbox_a: jnp.ndarray, bbox_b: jnp.ndarray) -> jnp.ndarray:
     utils/proposal_target_creator.py:55). Degenerate / padded boxes produce
     zero area and hence zero IoU.
     """
-    tl = jnp.maximum(bbox_a[:, None, :2], bbox_b[None, :, :2])
-    br = jnp.minimum(bbox_a[:, None, 2:], bbox_b[None, :, 2:])
-    wh = jnp.clip(br - tl, 0.0, None)
-    inter = wh[..., 0] * wh[..., 1]
+    # TPU layout note: keep every intermediate 2-D (N, M). A fused
+    # (N, M, 2) intermediate gets its trailing dim padded 2→128 by TPU
+    # tiling — at N=M=6000 that is a 36 GB allocation.
+    ty = jnp.maximum(bbox_a[:, None, 0], bbox_b[None, :, 0])
+    tx = jnp.maximum(bbox_a[:, None, 1], bbox_b[None, :, 1])
+    by = jnp.minimum(bbox_a[:, None, 2], bbox_b[None, :, 2])
+    bx = jnp.minimum(bbox_a[:, None, 3], bbox_b[None, :, 3])
+    inter = jnp.clip(by - ty, 0.0, None) * jnp.clip(bx - tx, 0.0, None)
 
     area_a = jnp.clip(box_area(bbox_a), 0.0, None)
     area_b = jnp.clip(box_area(bbox_b), 0.0, None)

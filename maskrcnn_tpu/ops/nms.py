@@ -8,15 +8,19 @@ the surrounding filtering; here everything stays on device with static
 shapes: N input slots in, ``n_out`` output slots + validity mask out, so the
 op composes into one jitted graph.
 
-Exactness: this IS exact greedy NMS. The recurrence "box i is kept iff no
-higher-scored *kept* box overlaps it above the threshold" is evaluated with a
-``lax.fori_loop`` whose iteration ``i`` only suppresses later boxes once box
-``i``'s own fate is final. Ties in score are broken by input order (stable
-argsort), documented per SURVEY §7 hard-part 1.
+Exactness: this IS exact greedy NMS. The greedy recurrence
+``keep[i] = valid[i] and no kept j<i with IoU(j,i) > t`` forms an ACYCLIC
+boolean system (edges only j→i for j earlier in score order), so it has a
+unique fixpoint — the greedy solution. We evaluate it by Jacobi iteration
+(``keep ← valid & ¬(keepᵀ·S > 0)``, one masked matrix-vector product per
+round) inside a ``lax.while_loop`` that stops at convergence: at most
+suppression-chain-depth rounds (typically < 10 on real data, worst case N),
+each one big MXU op instead of N tiny sequential steps. Ties in score break
+by input order (stable argsort), documented per SURVEY §7 hard-part 1.
 
-Cost: O(N²) IoU matrix + N sequential vector updates. Intended for
-N ≤ a few thousand (the pre-NMS top-k); a Pallas bitmask variant can replace
-the inner loop later without changing this interface.
+Cost: O(N²) IoU matrix + depth × O(N²) matvec. Intended for N ≤ a few
+thousand (the pre-NMS top-k). ``algorithm="sequential"`` keeps the naive
+N-step ``fori_loop`` as a cross-check oracle for tests.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ def nms_padded(
     iou_thresh: float,
     n_out: int,
     valid: jnp.ndarray | None = None,
+    algorithm: str = "fixpoint",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over N padded boxes → ``n_out`` fixed slots.
 
@@ -63,11 +68,31 @@ def nms_padded(
     iou = box_iou(boxes_s, boxes_s)
     pos = jnp.arange(n)
 
-    def body(i, keep):
-        suppress = keep[i] & (iou[i] > iou_thresh) & (pos > i)
-        return keep & ~suppress
+    if algorithm == "sequential":
+        def body(i, keep):
+            suppress = keep[i] & (iou[i] > iou_thresh) & (pos > i)
+            return keep & ~suppress
 
-    keep = jax.lax.fori_loop(0, n, body, valid_s)
+        keep = jax.lax.fori_loop(0, n, body, valid_s)
+    else:
+        # S[j, i] = 1 iff j (earlier in score order) suppresses i.
+        sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(
+            jnp.float32
+        )
+
+        def cond(state):
+            keep, prev, it = state
+            return (it < n) & jnp.any(keep != prev)
+
+        def body(state):
+            keep, _, it = state
+            hit = keep.astype(jnp.float32) @ sup  # (N,) MXU matvec
+            new = valid_s & (hit < 0.5)
+            return new, keep, it + 1
+
+        keep, _, _ = jax.lax.while_loop(
+            cond, body, (valid_s, ~valid_s, jnp.int32(0))
+        )
 
     # Compact the kept boxes (already score-sorted) into n_out slots.
     rank = jnp.cumsum(keep) - 1  # rank among kept, valid where keep

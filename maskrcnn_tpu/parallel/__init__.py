@@ -1,0 +1,8 @@
+from maskrcnn_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_train_step,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "make_parallel_train_step"]

@@ -1,0 +1,67 @@
+"""Data parallelism over a device Mesh — compiler-emitted collectives.
+
+TPU-native replacement for the reference's only distribution strategy:
+``MultiprocessParallelUpdater`` (reference train.py:117-121), which forks one
+process per GPU, runs batch-1 steps, and NCCL-all-reduces gradients. Here the
+SAME single-program train step runs under ``jax.jit`` over a 1-D ``data``
+mesh: the batch is sharded on its leading axis, parameters/optimizer state
+are replicated, and XLA inserts the gradient all-reduce over ICI (within a
+slice) / DCN (across hosts) automatically (SURVEY §5 "distributed backend").
+
+Multi-host: each process feeds its local shard
+(``jax.make_array_from_process_local_data``); the host pipeline shards the
+dataset index by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    def put(x):
+        if x is None:
+            return None
+        sharding = NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data"):
+    """The single-chip train step, jitted with DP shardings over ``mesh``.
+
+    Returns ``(state, batch) -> (state, metrics)`` where ``state`` must be
+    replicated (see :func:`replicate`) and ``batch`` sharded
+    (:func:`shard_batch`). Gradient reduction compiles to one XLA all-reduce
+    per parameter bucket over ICI — no NCCL, no process forking.
+    """
+    from maskrcnn_tpu.train.step import make_train_step
+
+    step = make_train_step(cfg, model)
+    repl = NamedSharding(mesh, P())
+
+    def sharded_step(state, batch):
+        # Constrain state to replicated so the partitioner commits to the DP
+        # layout (batch arrives sharded via shard_batch); the gradient
+        # all-reduce then materializes at the psum the partitioner inserts.
+        state = jax.lax.with_sharding_constraint(state, repl)
+        return step(state, batch)
+
+    return jax.jit(sharded_step, donate_argnums=(0,))

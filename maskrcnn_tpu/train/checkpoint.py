@@ -1,0 +1,53 @@
+"""Checkpoint / resume — full train state, exact restart.
+
+The reference snapshots MODEL PARAMS ONLY every 5k iterations
+(reference train.py:134-137) so resume loses optimizer momentum and the LR
+schedule position (SURVEY §5 "Checkpoint / resume"). Here orbax persists the
+complete ``TrainState`` (params + BN stats + optimizer state + step + PRNG
+key), making restart bit-exact; ``load_params_only`` mirrors the reference's
+``load_npz(strict=False)`` warm-start (train.py:99-101).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from maskrcnn_tpu.train.state import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None):
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    step = int(state.step) if step is None else step
+    path = os.path.join(ckpt_dir, f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(
+        d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+    )
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Exact resume: restores the full state into ``template``'s structure."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)
+
+
+def load_params_only(path: str, template: TrainState) -> TrainState:
+    """Warm start: params (+BN stats) from a checkpoint, fresh optimizer —
+    the reference's --weight / strict=False semantics."""
+    restored = restore_checkpoint(path, template)
+    return template.replace(
+        params=restored.params, batch_stats=restored.batch_stats
+    )

@@ -24,7 +24,7 @@ import numpy as np
 
 from maskrcnn_tpu.config import Config
 from maskrcnn_tpu.models import MaskRCNN, anchors_for, generate_proposals
-from maskrcnn_tpu.models.maskrcnn import backbone_geometry
+from maskrcnn_tpu.models.maskrcnn import backbone_geometry, pyramid_shapes
 from maskrcnn_tpu.targets import (
     anchor_targets,
     keypoint_targets,
@@ -65,9 +65,8 @@ def make_train_step(cfg: Config, model: MaskRCNN):
     update, halves HBM traffic). Always rebind: ``state, metrics =
     step(state, batch)`` — reusing a donated state crashes with an opaque
     TPU InvalidArgument error."""
-    h, w = cfg.train.image_size
     feat_strides, _ = backbone_geometry(cfg)
-    feat_shapes = [(h // s, w // s) for s in feat_strides]
+    feat_shapes = pyramid_shapes(cfg, cfg.train.image_size)
     anchors = jnp.asarray(anchors_for(cfg, feat_shapes, feat_strides))
     n_levels = len(feat_shapes)
     is_keypoint = cfg.model.head == "fpn_keypoint"

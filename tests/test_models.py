@@ -153,3 +153,12 @@ class TestFacade:
         assert locs.shape == (4, 4)
         assert scores.shape == (4, 80)
         assert mask.shape == (4, 14, 14, 79)
+
+
+def test_pyramid_shapes_p6_ceil():
+    from maskrcnn_tpu.models.maskrcnn import pyramid_shapes
+    cfg = cfg_lib.fpn_mask()
+    shapes = pyramid_shapes(cfg, (800, 1024))
+    assert shapes == [(200, 256), (100, 128), (50, 64), (25, 32), (13, 16)]
+    cfg2 = cfg_lib.tiny_test()
+    assert pyramid_shapes(cfg2, (128, 160)) == [(8, 10)]

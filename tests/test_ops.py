@@ -206,3 +206,34 @@ class TestRoiAlign:
 
         g = jax.grad(f)(feats)
         assert np.asarray(jnp.abs(g).sum()) > 0
+
+
+class TestNMSFixpoint:
+    """The fixpoint algorithm must equal the sequential greedy oracle."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("thresh", [0.3, 0.5, 0.7])
+    def test_equals_sequential(self, seed, thresh):
+        r = np.random.RandomState(seed)
+        # dense overlapping boxes to force deep suppression chains
+        boxes = random_boxes(r, 200, size=60.0)
+        scores = r.uniform(0, 1, 200).astype(np.float32)
+        i1, v1 = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                thresh, 200, algorithm="fixpoint")
+        i2, v2 = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                thresh, 200, algorithm="sequential")
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_chain_case(self):
+        # a>b>c suppression chain: b dies to a, c must survive (b is dead).
+        boxes = np.array([
+            [0, 0, 10, 10],
+            [0, 6, 10, 16],   # overlaps a (IoU ~0.25) and c
+            [0, 12, 10, 22],  # overlaps b only
+        ], np.float32)
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        idx, valid = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                    0.2, 3)
+        kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+        assert kept == {0, 2}
