@@ -28,6 +28,8 @@ def main():
     p.add_argument("--preset", default="fpn_mask")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--roi-align", default="auto",
+                   choices=["auto", "region", "gather", "pallas"])
     args = p.parse_args()
 
     import jax
@@ -41,7 +43,7 @@ def main():
     cfg = cfg_lib._rep(
         cfg,
         train=dict(batch_size=args.batch, image_size=(args.height, args.width)),
-        model=dict(dtype=args.dtype),
+        model=dict(dtype=args.dtype, roi_align=args.roi_align),
     )
 
     model, variables = init_model(cfg, jax.random.key(0))

@@ -79,6 +79,9 @@ class ModelConfig:
     freeze_bn: bool = True
     # compute dtype for conv/matmul-heavy paths; params stay float32.
     dtype: str = "float32"
+    # ROIAlign implementation: auto (region for FPN, gather single-level),
+    # or force region / gather / pallas (the hand-written TPU kernel).
+    roi_align: str = "auto"
 
     @property
     def n_class(self) -> int:

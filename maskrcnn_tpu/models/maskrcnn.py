@@ -124,8 +124,16 @@ class MaskRCNN(nn.Module):
         if getattr(self.head, "needs_thin_map", False):
             features = [self.head.thin_map(features[0])]
             scales = (self.spatial_scales[0],)
+        impl = self.cfg.model.roi_align
+        if impl == "pallas":
+            from maskrcnn_tpu.kernels import multilevel_roi_align_pallas
+
+            return multilevel_roi_align_pallas(
+                features, rois, roi_batch_idx, roi_levels, out_size, scales
+            )
         return multilevel_roi_align(
-            features, rois, roi_batch_idx, roi_levels, out_size, scales
+            features, rois, roi_batch_idx, roi_levels, out_size, scales,
+            impl=None if impl == "auto" else impl,
         )
 
     def head_box(self, features, rois, roi_batch_idx, roi_levels):

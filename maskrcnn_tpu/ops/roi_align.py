@@ -110,13 +110,27 @@ def multilevel_roi_align(
     out_size: tuple[int, int],
     spatial_scales: tuple[float, ...],
     sampling_ratio: int = 2,
+    impl: str | None = None,
+    t_span: int | None = None,
 ) -> jnp.ndarray:
     """Multilevel batched ROIAlign → (R, oh, ow, C).
 
     Each ROI samples the single pyramid level given by ``roi_levels``
     (assigned by :func:`maskrcnn_tpu.ops.levels.map_rois_to_fpn_levels`),
     exactly like the reference's per-level Python dispatch
-    (``fpn_roi_mask_head.py:58-63``) — but as one fixed-shape gather.
+    (``fpn_roi_mask_head.py:58-63``) — but as one fixed-shape op.
+
+    Two implementations, same semantics:
+    - ``impl="gather"``: pointwise bilinear gather (4 corner gathers per
+      sample) — robust for any ROI size.
+    - ``impl="region"`` (default): per-ROI region-matrix form. Slice a
+      (T, T) window of the ROI's level and compute the whole bilinear
+      interpolation as two small matmuls ``By @ region @ Bxᵀ`` — MXU work
+      instead of scattered 1-row gathers. Exact while the ROI spans ≤ T−3
+      feature pixels, which the FPN level mapping guarantees (a level-k ROI
+      spans ≲17 px in its own level's frame; pass a larger ``t_span`` for
+      single-level backbones). Oversized spans clamp — degrading gracefully
+      to a cropped-window interpolation rather than failing.
     """
     assert len(features) == len(spatial_scales)
     b, _, _, c = features[0].shape
@@ -126,6 +140,22 @@ def multilevel_roi_align(
     flat = jnp.concatenate(
         [f.reshape(b * f.shape[1] * f.shape[2], c) for f in features], axis=0
     )
+    if impl is None:
+        # auto: region wins when the level mapping bounds ROI spans (FPN);
+        # a single-level backbone can have ROIs spanning the whole map, where
+        # the (R, T, T, C) region tensor would dwarf the pointwise gather.
+        impl = "region" if len(features) > 1 else "gather"
+    if impl == "region":
+        if t_span is None:
+            # FPN mapping bounds spans at ~17; single level can span the map.
+            # 28 covers aspect ratios up to ~14 at the level-mapping
+            # boundary (thin boxes: long side = sqrt(area·ar)/stride can
+            # exceed sqrt(area)/stride); beyond that the window clamps.
+            t_span = 28 if len(features) > 1 else int(shapes[0].max()) + 3
+        return _mlra_region(
+            flat, shapes, offsets, rois, roi_batch_idx, roi_levels,
+            out_size, spatial_scales, sampling_ratio, b, t_span,
+        )
     return _mlra_impl(
         flat[None] if flat.ndim == 2 else flat,
         shapes,
@@ -138,6 +168,124 @@ def multilevel_roi_align(
         sampling_ratio,
         n_batch=b,
     )
+
+
+def region_params(
+    shapes: np.ndarray,  # (L, 2) static level shapes
+    offsets: np.ndarray,  # (L,) static flat offsets
+    rois: jnp.ndarray,  # (R, 4)
+    roi_batch_idx: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    out_size: tuple[int, int],
+    spatial_scales: tuple[float, ...],
+    sampling_ratio: int,
+    t_span: int,
+):
+    """Per-ROI interpolation data for the region-matrix formulation.
+
+    Returns (row_ids (R, t) int32 — flat start row of each region row;
+    by (R, ny, t); bx (R, nx, t)) such that
+    ``out = By @ flat[region] @ Bxᵀ``. Shared by the XLA implementation and
+    the Pallas kernel (kernels/roi_align_pallas.py), and reused by the VJP:
+    d_flat = scatter-add of Byᵀ @ g @ Bx over the same rows.
+    """
+    oh, ow = out_size
+    sr = sampling_ratio
+    ny, nx = oh * sr, ow * sr
+    t = t_span
+
+    scales = jnp.asarray(spatial_scales, jnp.float32)[roi_levels]
+    lvl_h = jnp.asarray(shapes[:, 0], jnp.float32)[roi_levels]
+    lvl_w = jnp.asarray(shapes[:, 1], jnp.float32)[roi_levels]
+    lvl_off = jnp.asarray(offsets, jnp.int32)[roi_levels]
+    block = lvl_off + roi_batch_idx.astype(jnp.int32) * (
+        lvl_h * lvl_w
+    ).astype(jnp.int32)
+
+    y0 = rois[:, 0] * scales
+    x0 = rois[:, 1] * scales
+    roi_h = jnp.maximum(rois[:, 2] * scales - y0, 1.0)
+    roi_w = jnp.maximum(rois[:, 3] * scales - x0, 1.0)
+    bin_h = roi_h / oh
+    bin_w = roi_w / ow
+
+    iy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) / sr
+    ix = (jnp.arange(nx, dtype=jnp.float32) + 0.5) / sr
+
+    def per_roi(y0_i, x0_i, bh_i, bw_i, h_i, w_i, block_i):
+        ys = y0_i + bh_i * iy  # (ny,) global feature coords
+        xs = x0_i + bw_i * ix
+        y_ok = (ys >= -1.0) & (ys <= h_i)
+        x_ok = (xs >= -1.0) & (xs <= w_i)
+
+        yc = jnp.clip(ys, 0.0, h_i - 1.0)
+        xc = jnp.clip(xs, 0.0, w_i - 1.0)
+        ry0 = jnp.floor(yc[0]).astype(jnp.int32)  # samples ascend
+        rx0 = jnp.floor(xc[0]).astype(jnp.int32)
+
+        def axis_weights(coords, ok, r0, n_axis, axis_len):
+            lo = jnp.floor(coords)
+            hi = jnp.minimum(lo + 1.0, axis_len - 1.0)
+            l_w = coords - lo  # weight of hi
+            lo_i = jnp.clip(lo.astype(jnp.int32) - r0, 0, t - 1)
+            hi_i = jnp.clip(hi.astype(jnp.int32) - r0, 0, t - 1)
+            rows = jnp.arange(n_axis)
+            m = jnp.zeros((n_axis, t), jnp.float32)
+            m = m.at[rows, lo_i].add((1.0 - l_w) * ok)
+            m = m.at[rows, hi_i].add(l_w * ok)
+            return m
+
+        by = axis_weights(yc, y_ok.astype(jnp.float32), ry0, ny, h_i)
+        bx = axis_weights(xc, x_ok.astype(jnp.float32), rx0, nx, w_i)
+
+        w_i32 = w_i.astype(jnp.int32)
+        row_ids = block_i + (ry0 + jnp.arange(t)) * w_i32 + rx0  # (t,)
+        return row_ids, by, bx
+
+    return jax.vmap(per_roi)(y0, x0, bin_h, bin_w, lvl_h, lvl_w, block)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "spatial_scales", "sampling_ratio",
+                     "n_batch", "t_span"),
+)
+def _mlra_region(
+    flat: jnp.ndarray,  # (S_total, C)
+    shapes: np.ndarray,  # (L, 2) static
+    offsets: np.ndarray,  # (L,) static
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    out_size: tuple[int, int],
+    spatial_scales: tuple[float, ...],
+    sampling_ratio: int,
+    n_batch: int,
+    t_span: int,
+):
+    oh, ow = out_size
+    sr = sampling_ratio
+    t = t_span
+    c = flat.shape[-1]
+    r = rois.shape[0]
+
+    row_ids, by, bx = region_params(
+        shapes, offsets, rois, roi_batch_idx, roi_levels, out_size,
+        spatial_scales, sampling_ratio, t_span,
+    )
+
+    def per_roi(row_ids_i, by_i, bx_i):
+        col = jnp.arange(t)
+        idx = row_ids_i[:, None] + col[None, :]  # (t, t)
+        region = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]  # (t, t, C)
+        tmp = jnp.einsum("yt,twc->ywc", by_i, region,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
+                          preferred_element_type=jnp.float32)
+
+    samples = jax.vmap(per_roi)(row_ids, by, bx)
+    samples = samples.reshape(r, oh, sr, ow, sr, c)
+    return jnp.mean(samples, axis=(2, 4))
 
 
 @functools.partial(

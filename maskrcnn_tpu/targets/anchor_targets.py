@@ -34,11 +34,20 @@ class AnchorTargets(NamedTuple):
     locs: jnp.ndarray  # (B, A, 4) float32 bbox2loc targets (pos rows valid)
 
 
-def _rank_of(priority: jnp.ndarray) -> jnp.ndarray:
-    """rank_of[i] = position of i in descending-priority order."""
-    n = priority.shape[0]
-    order = jnp.argsort(-priority)
-    return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+def _keep_top_random(mask: jnp.ndarray, key: jax.Array, k: jnp.ndarray | int,
+                     k_max: int) -> jnp.ndarray:
+    """Keep a uniformly random subset of at most ``k`` True entries.
+
+    Random-priority top-k by THRESHOLD: one ``lax.top_k(k_max)`` instead of a
+    full argsort over all anchors (the sort was 15 ms/step at 205k anchors).
+    ``k`` may be traced (≤ k_max); ``k_max`` is static.
+    """
+    k_max = min(k_max, mask.shape[-1])  # tiny configs: fewer anchors than k
+    pri = jnp.where(mask, jax.random.uniform(key, mask.shape), -1.0)
+    top_vals, _ = jax.lax.top_k(pri, k_max)
+    kth = top_vals[jnp.clip(k - 1, 0, k_max - 1)]
+    keep = mask & (pri >= kth)
+    return jnp.where(k > 0, keep, jnp.zeros_like(keep))
 
 
 @functools.partial(jax.jit, static_argnames=("n_sample", "pos_ratio"))
@@ -87,14 +96,14 @@ def anchor_targets(
         k1, k2 = jax.random.split(k)
         n_pos_cap = int(n_sample * pos_ratio)
         pos = label == 1
-        pri = jnp.where(pos, jax.random.uniform(k1, pos.shape), -1.0)
-        label = jnp.where(pos & (_rank_of(pri) >= n_pos_cap), -1, label)
+        pos_keep = _keep_top_random(pos, k1, n_pos_cap, n_pos_cap)
+        label = jnp.where(pos & ~pos_keep, -1, label)
 
         # Subsample negatives to n_sample - kept positives.
         n_pos = (label == 1).sum()
         neg = label == 0
-        pri = jnp.where(neg, jax.random.uniform(k2, neg.shape), -1.0)
-        label = jnp.where(neg & (_rank_of(pri) >= n_sample - n_pos), -1, label)
+        neg_keep = _keep_top_random(neg, k2, n_sample - n_pos, n_sample)
+        label = jnp.where(neg & ~neg_keep, -1, label)
 
         locs = bbox2loc(anchors, gt_i[argmax_gt])
         return label, locs

@@ -123,26 +123,25 @@ def proposal_targets(
     return ProposalTargets(*out)
 
 
-def _bilinear_2d(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Sample (S, S) image at float coords; out-of-range clamps to border."""
-    s_h, s_w = img.shape
-    y = jnp.clip(ys, 0.0, s_h - 1.0)
-    x = jnp.clip(xs, 0.0, s_w - 1.0)
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
-    y1 = jnp.minimum(y0 + 1, s_h - 1.0)
-    x1 = jnp.minimum(x0 + 1, s_w - 1.0)
-    ly, lx = y - y0, x - x0
-    y0i, x0i, y1i, x1i = (a.astype(jnp.int32) for a in (y0, x0, y1, x1))
-    v = (
-        img[y0i, x0i] * (1 - ly) * (1 - lx)
-        + img[y0i, x1i] * (1 - ly) * lx
-        + img[y1i, x0i] * ly * (1 - lx)
-        + img[y1i, x1i] * ly * lx
-    )
-    # Points outside the crop's support are background.
-    outside = (ys < -0.5) | (ys > s_h - 0.5) | (xs < -0.5) | (xs > s_w - 0.5)
-    return jnp.where(outside, 0.0, v)
+def _axis_interp_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(n,) float coords → (n, size) bilinear interpolation matrix.
+
+    Out-of-support coords (further than half a pixel beyond the border) get
+    an all-zero row (background), matching border semantics of a crop.
+    TPU note: expressing the bilinear sample as ``By @ M @ Bxᵀ`` turns what
+    would be thousands of scalar gathers into two MXU matmuls.
+    """
+    n = coords.shape[0]
+    ok = ((coords >= -0.5) & (coords <= size - 0.5)).astype(jnp.float32)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    lo = jnp.floor(c)
+    hi = jnp.minimum(lo + 1.0, size - 1.0)
+    lw = c - lo
+    rows = jnp.arange(n)
+    m = jnp.zeros((n, size), jnp.float32)
+    m = m.at[rows, lo.astype(jnp.int32)].add((1.0 - lw) * ok)
+    m = m.at[rows, hi.astype(jnp.int32)].add(lw * ok)
+    return m
 
 
 @functools.partial(jax.jit, static_argnames=("mask_size",))
@@ -170,9 +169,10 @@ def mask_targets(
         # into the GT crop's pixel frame (half-pixel convention)
         vs = (ys - gy0) / gh * s - 0.5
         us = (xs - gx0) / gw * s - 0.5
-        grid_v = jnp.broadcast_to(vs[:, None], (mask_size, mask_size))
-        grid_u = jnp.broadcast_to(us[None, :], (mask_size, mask_size))
-        return (_bilinear_2d(gmask, grid_v, grid_u) >= 0.5).astype(jnp.float32)
+        by = _axis_interp_matrix(vs, s)  # (mask_size, s)
+        bx = _axis_interp_matrix(us, s)
+        interp = by @ gmask @ bx.T  # two MXU matmuls, no gathers
+        return (interp >= 0.5).astype(jnp.float32)
 
     def per_image(rois_i, assign_i, gmasks_i, gboxes_i):
         return jax.vmap(per_roi)(

@@ -237,3 +237,65 @@ class TestNMSFixpoint:
                                     0.2, 3)
         kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
         assert kept == {0, 2}
+
+
+class TestRoiAlignRegion:
+    """Region-matrix implementation must match the gather implementation."""
+
+    def test_matches_gather_multilevel(self, rng):
+        b, c = 2, 8
+        shapes = [(32, 40), (16, 20)]
+        scales = (0.25, 0.125)
+        feats = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+                 for h, w in shapes]
+        # ROIs sized so spans stay within the region window
+        rois = []
+        for _ in range(16):
+            y0 = rng.uniform(0, 80); x0 = rng.uniform(0, 100)
+            hgt = rng.uniform(8, 60); wid = rng.uniform(8, 60)
+            rois.append([y0, x0, y0 + hgt, x0 + wid])
+        rois = jnp.asarray(np.array(rois, np.float32))
+        bi = jnp.asarray(rng.randint(0, b, 16).astype(np.int32))
+        lv = jnp.asarray(rng.randint(0, 2, 16).astype(np.int32))
+        a = ops.multilevel_roi_align(feats, rois, bi, lv, (7, 7), scales,
+                                     impl="gather")
+        g = ops.multilevel_roi_align(feats, rois, bi, lv, (7, 7), scales,
+                                     impl="region", t_span=22)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_offscreen_and_degenerate(self, rng):
+        feats = [jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))]
+        rois = jnp.asarray(np.array(
+            [[-200, -200, -100, -100], [5, 5, 5, 5]], np.float32))
+        bi = jnp.zeros((2,), jnp.int32)
+        lv = jnp.zeros((2,), jnp.int32)
+        a = ops.multilevel_roi_align(feats, rois, bi, lv, (7, 7), (0.25,),
+                                     impl="gather")
+        g = ops.multilevel_roi_align(feats, rois, bi, lv, (7, 7), (0.25,),
+                                     impl="region", t_span=19)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+        assert bool(jnp.isfinite(g).all())
+
+    def test_region_gradients(self, rng):
+        import jax
+        feats = [jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))]
+        rois = jnp.asarray(np.array([[8.0, 8.0, 40.0, 40.0]], np.float32))
+        bi = jnp.zeros((1,), jnp.int32)
+        lv = jnp.zeros((1,), jnp.int32)
+
+        def f(x):
+            return ops.multilevel_roi_align(
+                [x], rois, bi, lv, (7, 7), (0.25,), impl="region", t_span=19
+            ).sum()
+
+        def f2(x):
+            return ops.multilevel_roi_align(
+                [x], rois, bi, lv, (7, 7), (0.25,), impl="gather"
+            ).sum()
+
+        g1 = jax.grad(f)(feats[0])
+        g2 = jax.grad(f2)(feats[0])
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
