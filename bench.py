@@ -30,6 +30,8 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi-align", default="auto",
                    choices=["auto", "region", "gather", "pallas"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations (bigger batches)")
     args = p.parse_args()
 
     import jax
@@ -43,7 +45,8 @@ def main():
     cfg = cfg_lib._rep(
         cfg,
         train=dict(batch_size=args.batch, image_size=(args.height, args.width)),
-        model=dict(dtype=args.dtype, roi_align=args.roi_align),
+        model=dict(dtype=args.dtype, roi_align=args.roi_align,
+                   remat=args.remat),
     )
 
     model, variables = init_model(cfg, jax.random.key(0))

@@ -58,8 +58,14 @@ def main(argv=None):
         label_names = loader.index.label_names
         batches = iter(loader)
 
-    report = evaluate_dataset(cfg, model, variables, batches, args.n_batches,
-                              label_names)
+    if cfg.model.head == "fpn_keypoint":
+        from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
+
+        report = evaluate_keypoint_dataset(cfg, model, variables, batches,
+                                           args.n_batches)
+    else:
+        report = evaluate_dataset(cfg, model, variables, batches,
+                                  args.n_batches, label_names)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:

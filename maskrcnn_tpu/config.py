@@ -82,6 +82,9 @@ class ModelConfig:
     # ROIAlign implementation: auto (region for FPN, gather single-level),
     # or force region / gather / pallas (the hand-written TPU kernel).
     roi_align: str = "auto"
+    # rematerialize backbone activations in the backward pass — trades
+    # FLOPs for HBM, unlocking larger per-chip batches.
+    remat: bool = False
 
     @property
     def n_class(self) -> int:

@@ -101,3 +101,41 @@ def evaluate_dataset(
         if np.isfinite(voc["ap"][i]):
             report[f"ap/{name}"] = float(voc["ap"][i])
     return report
+
+
+def evaluate_keypoint_dataset(
+    cfg: Config,
+    model,
+    variables,
+    batches,  # iterable of Batch with gt_keypoints present
+    n_batches: int,
+) -> dict:
+    """OKS keypoint AP over a dataset (new capability — the reference trains
+    keypoint models but never evaluates them, SURVEY §2 #21)."""
+    from maskrcnn_tpu.eval.keypoint_eval import eval_keypoints_oks_ap
+    from maskrcnn_tpu.eval.postprocess import decode_keypoints
+
+    predict = make_predict_fn(cfg, model)
+
+    pred_kps, pred_scores = [], []
+    gt_kps, gt_areas = [], []
+    for bi, batch in zip(range(n_batches), batches):
+        det = predict(
+            variables,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.img_hw),
+            jnp.asarray(batch.scale),
+        )
+        det = jax.device_get(det)
+        for i in range(batch.images.shape[0]):
+            valid = det.valid[i]
+            kps = decode_keypoints(det.boxes[i], det.heatmaps[i], valid)
+            pred_kps.append(kps)
+            pred_scores.append(det.scores[i][valid])
+            gv = np.asarray(batch.gt_valid[i])
+            gt_kps.append(np.asarray(batch.gt_keypoints[i])[gv])
+            boxes = np.asarray(batch.gt_boxes[i])[gv]
+            gt_areas.append(
+                (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            )
+    return eval_keypoints_oks_ap(pred_kps, pred_scores, gt_kps, gt_areas)

@@ -114,11 +114,18 @@ class DarknetBackbone(nn.Module):
         return [h]
 
 
-def build_backbone(name: str, channels: int, frozen_bn: bool, dtype) -> nn.Module:
+def build_backbone(name: str, channels: int, frozen_bn: bool, dtype,
+                   remat: bool = False) -> nn.Module:
     if name == "fpn":
-        return FPNBackbone(channels, frozen_bn, dtype)
-    if name == "c4":
-        return C4Backbone(frozen_bn, dtype)
-    if name == "darknet":
-        return DarknetBackbone(dtype)
-    raise ValueError(f"unknown backbone {name!r}")
+        cls, args = FPNBackbone, (channels, frozen_bn, dtype)
+    elif name == "c4":
+        cls, args = C4Backbone, (frozen_bn, dtype)
+    elif name == "darknet":
+        cls, args = DarknetBackbone, (dtype,)
+    else:
+        raise ValueError(f"unknown backbone {name!r}")
+    if remat:
+        # checkpoint backbone activations (recompute in backward) —
+        # HBM-for-FLOPs trade that unlocks larger per-chip batches.
+        cls = nn.remat(cls, static_argnums=(2,))
+    return cls(*args)

@@ -89,7 +89,7 @@ class MaskRCNN(nn.Module):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
         self.extractor = build_backbone(m.backbone, m.fpn_channels,
-                                        m.freeze_bn, dtype)
+                                        m.freeze_bn, dtype, m.remat)
         self.rpn_head = RPNHead(
             mid_channels=256,
             n_anchor=len(self.cfg.anchors.ratios),
@@ -98,13 +98,15 @@ class MaskRCNN(nn.Module):
         self.head = build_head(self.cfg, dtype)
 
     # ---- static geometry -------------------------------------------------
+    # derived from config, not the module instance: transformed (remat)
+    # backbone classes may not carry the class attributes through.
     @property
     def feat_strides(self) -> tuple[int, ...]:
-        return self.extractor.feat_strides
+        return backbone_geometry(self.cfg)[0]
 
     @property
     def spatial_scales(self) -> tuple[float, ...]:
-        return self.extractor.spatial_scales
+        return backbone_geometry(self.cfg)[1]
 
     def feat_shapes(self, img_size: tuple[int, int]) -> list[tuple[int, int]]:
         return pyramid_shapes(self.cfg, img_size)
