@@ -60,7 +60,11 @@ class Viewer:
         from maskrcnn_tpu.train import create_train_state, init_model
         from maskrcnn_tpu.train.checkpoint import load_params_only
 
-        self.cfg = cfg_lib.darknet_keypoint(n_keypoints=args.n_keypoints)
+        # visualize preset: score 0.7 (reference use_preset('visualize'))
+        self.cfg = cfg_lib.use_preset(
+            cfg_lib.darknet_keypoint(n_keypoints=args.n_keypoints),
+            "visualize",
+        )
         self.model, variables = init_model(self.cfg, jax.random.key(0))
         state = create_train_state(self.cfg, variables, jax.random.key(1))
         if args.weight:

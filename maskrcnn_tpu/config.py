@@ -113,6 +113,18 @@ class EvalConfig:
     max_detections: int = 100
 
 
+def use_preset(cfg: "Config", preset: str) -> "Config":
+    """chainercv FasterRCNN.use_preset equivalent (SURVEY §2c):
+    'evaluate' → score 0.05 / NMS 0.3; 'visualize' → score 0.7 / NMS 0.3."""
+    if preset == "evaluate":
+        ev = dict(score_thresh=0.05, nms_thresh=0.3)
+    elif preset == "visualize":
+        ev = dict(score_thresh=0.7, nms_thresh=0.3)
+    else:
+        raise ValueError(f"unknown preset {preset!r}")
+    return _rep(cfg, eval=ev)
+
+
 @dataclasses.dataclass(frozen=True)
 class Config:
     model: ModelConfig = ModelConfig()

@@ -57,11 +57,8 @@ def _kernel(row_ids_ref, by_ref, bx_ref, flat_ref, out_ref, region, sems,
             sems.at[ty],
         ).wait()
 
-    by = by_ref[0]  # (ny, t)
-    bx = bx_ref[0]  # (nx, t)
-    c = region.shape[-1]
-    ny = by.shape[0]
-    nx = bx.shape[0]
+    by = by_ref[0]  # (oh, t) — sub-sample mean folded in (region_params)
+    bx = bx_ref[0]  # (ow, t)
 
     reg = region[:].astype(jnp.float32)  # (t, t, C)
     # 3-D dot_general: contracting reg's dim 0 — avoids a (t, t·C) reshape,
@@ -71,15 +68,13 @@ def _kernel(row_ids_ref, by_ref, bx_ref, flat_ref, out_ref, region, sems,
         by, reg,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (ny, t, C)
-    # (nx, t) @ (ny, t, c) contracting t → (ny, nx, c)
+    )  # (oh, t, C)
     out = jax.lax.dot_general(
         tmp, bx,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (ny, c, nx)
-    out = jnp.transpose(out, (0, 2, 1))  # (ny, nx, c)
-    out = out.reshape(oh, sr, ow, sr, c).mean(axis=(1, 3))
+    )  # (oh, C, ow)
+    out = jnp.transpose(out, (0, 2, 1))  # (oh, ow, C)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -113,15 +108,14 @@ def _pallas_forward_128(flat, row_ids, by, bx, out_size, sampling_ratio,
     t = t_span
     r = row_ids.shape[0]
     c = flat.shape[-1]
-    ny, nx = oh * sr, ow * sr
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, ny, t), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, oh, t), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nx, t), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ow, t), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # flat pyramid in HBM
         ],
@@ -167,8 +161,8 @@ def _interpret_forward(flat, row_ids, by, bx, out_size, sampling_ratio, t):
         tmp = jnp.einsum("yt,twc->ywc", by_i, region.astype(jnp.float32))
         return jnp.einsum("xw,ywc->yxc", bx_i, tmp)
 
-    samples = jax.vmap(per_roi)(row_ids, by, bx)
-    return samples.reshape(r, oh, sr, ow, sr, c).mean(axis=(2, 4))
+    # pooled matrices → (R, oh, ow, C) directly
+    return jax.vmap(per_roi)(row_ids, by, bx)
 
 
 def _fwd(flat, row_ids, by, bx, out_size, sampling_ratio, t_span,
@@ -187,11 +181,8 @@ def _bwd(out_size, sampling_ratio, t_span, interpret, s_total, flat_dtype,
     t = t_span
     c = g.shape[-1]
 
-    # undo the sub-sample mean: each of the sr×sr samples gets g / sr².
-    gs = jnp.broadcast_to(
-        g[:, :, None, :, None, :] / (sr * sr),
-        (g.shape[0], oh, sr, ow, sr, c),
-    ).reshape(g.shape[0], oh * sr, ow * sr, c)
+    # By/Bx already carry the sub-sample averaging; g is (R, oh, ow, C).
+    gs = g
 
     def per_roi(by_i, bx_i, g_i):
         # d_region = Byᵀ @ g @ Bx : (t, t, C)

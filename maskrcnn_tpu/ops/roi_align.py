@@ -184,9 +184,13 @@ def region_params(
     """Per-ROI interpolation data for the region-matrix formulation.
 
     Returns (row_ids (R, t) int32 — flat start row of each region row;
-    by (R, ny, t); bx (R, nx, t)) such that
-    ``out = By @ flat[region] @ Bxᵀ``. Shared by the XLA implementation and
-    the Pallas kernel (kernels/roi_align_pallas.py), and reused by the VJP:
+    by (R, oh, t); bx (R, ow, t)) such that
+    ``out = By @ flat[region] @ Bxᵀ`` IS the final pooled output: the
+    sr×sr sub-sample averaging is folded into the matrices (mean pooling
+    commutes with the linear interpolation), so no (R, oh·sr, ow·sr, C)
+    intermediate ever materializes — at batch 32 that intermediate was a
+    6 GB HBM allocation. Shared by the XLA implementation and the Pallas
+    kernel (kernels/roi_align_pallas.py), and reused by the VJP:
     d_flat = scatter-add of Byᵀ @ g @ Bx over the same rows.
     """
     oh, ow = out_size
@@ -237,6 +241,9 @@ def region_params(
 
         by = axis_weights(yc, y_ok.astype(jnp.float32), ry0, ny, h_i)
         bx = axis_weights(xc, x_ok.astype(jnp.float32), rx0, nx, w_i)
+        # fold the sub-sample mean into the matrices
+        by = by.reshape(oh, sr, t).mean(axis=1)
+        bx = bx.reshape(ow, sr, t).mean(axis=1)
 
         w_i32 = w_i.astype(jnp.int32)
         row_ids = block_i + (ry0 + jnp.arange(t)) * w_i32 + rx0  # (t,)
@@ -283,9 +290,9 @@ def _mlra_region(
         return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
                           preferred_element_type=jnp.float32)
 
-    samples = jax.vmap(per_roi)(row_ids, by, bx)
-    samples = samples.reshape(r, oh, sr, ow, sr, c)
-    return jnp.mean(samples, axis=(2, 4))
+    # By/Bx already include the sr×sr sub-sample averaging: this is the
+    # final (R, oh, ow, C) output.
+    return jax.vmap(per_roi)(row_ids, by, bx)
 
 
 @functools.partial(
