@@ -32,6 +32,8 @@ def main():
                    choices=["auto", "region", "gather", "pallas"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (bigger batches)")
+    p.add_argument("--mode", default="train", choices=["train", "predict"],
+                   help="train images/sec (default) or two-pass predict p50 latency")
     args = p.parse_args()
 
     import jax
@@ -50,10 +52,35 @@ def main():
     )
 
     model, variables = init_model(cfg, jax.random.key(0))
-    state = create_train_state(cfg, variables, jax.random.key(1))
-    step = make_train_step(cfg, model)
     data = SyntheticDetectionData(cfg)
     batch = jax.tree.map(jnp.asarray, data.batch(0))
+
+    if args.mode == "predict":
+        from maskrcnn_tpu.eval import make_predict_fn
+
+        predict = make_predict_fn(cfg, model)
+        det = predict(variables, batch.images, batch.img_hw, batch.scale)
+        jax.block_until_ready(det.scores)
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            det = predict(variables, batch.images, batch.img_hw, batch.scale)
+            jax.block_until_ready(det.scores)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2] * 1000
+        print(json.dumps({
+            "metric": f"predict_p50_ms_{args.preset}_{args.height}x{args.width}_b{args.batch}",
+            "value": round(p50, 2),
+            "unit": "ms",
+            # reference published no inference latency; anchor 1000 ms
+            # (batch-1 two-pass predict on its CPU/K80 era hardware).
+            "vs_baseline": round(1000.0 / p50, 3),
+        }))
+        return
+
+    state = create_train_state(cfg, variables, jax.random.key(1))
+    step = make_train_step(cfg, model)
 
     # compile + warmup
     state, metrics = step(state, batch)

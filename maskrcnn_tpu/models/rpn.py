@@ -123,7 +123,15 @@ def generate_proposals(
         masked = jnp.where(ok, fg_i, -jnp.inf)
 
         k = min(n_pre, boxes.shape[0])
-        top_scores, top_idx = jax.lax.top_k(masked, k)
+        if k < boxes.shape[0] and jax.default_backend() == "tpu":
+            # Pre-NMS candidate selection doesn't need exact order —
+            # approx_max_k is a single-pass TPU kernel (recall ≥ 0.99 vs a
+            # full 205k-element sort; measured recall 1.0 at these shapes).
+            top_scores, top_idx = jax.lax.approx_max_k(
+                masked, k, recall_target=0.99
+            )
+        else:
+            top_scores, top_idx = jax.lax.top_k(masked, k)
         top_boxes = boxes[top_idx]
         tvalid = jnp.isfinite(top_scores)
 

@@ -162,3 +162,28 @@ def test_pyramid_shapes_p6_ceil():
     assert shapes == [(200, 256), (100, 128), (50, 64), (25, 32), (13, 16)]
     cfg2 = cfg_lib.tiny_test()
     assert pyramid_shapes(cfg2, (128, 160)) == [(8, 10)]
+
+
+def test_select_roi_locs_per_class():
+    from maskrcnn_tpu.train.losses import select_roi_locs
+    import jax.numpy as jnp
+    # per-class head: (N, n_class*4); label picks the class's 4-vector
+    locs = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 12)
+    labels = jnp.asarray([2, 0])
+    out = np.asarray(select_roi_locs(locs, labels))
+    np.testing.assert_allclose(out[0], [8, 9, 10, 11])
+    np.testing.assert_allclose(out[1], [12, 13, 14, 15])
+    # class-agnostic passes through
+    agn = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(select_roi_locs(agn, labels)), 1.0)
+
+
+def test_res5_head_shapes():
+    from maskrcnn_tpu.models.heads import Res5Head
+    h = Res5Head(n_class=4)
+    pooled = jnp.zeros((3, 7, 7, 64))
+    vars_ = h.init(jax.random.key(0), pooled, pooled)
+    locs, scores, mask = h.apply(vars_, pooled, pooled)
+    assert locs.shape == (3, 16)   # per-class 4*n_class
+    assert scores.shape == (3, 4)
+    assert mask.shape == (3, 14, 14, 3)
