@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--snapshot-every", type=int, default=5000,
                    help="checkpoint interval (reference: 5000)")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run the evaluator every N iterations "
+                        "(reference: VOC mAP every 10000; 0 disables)")
+    p.add_argument("--eval-batches", type=int, default=8)
     p.add_argument("--dataset", default="synthetic",
                    choices=["synthetic", "coco", "depth"])
     p.add_argument("--coco-root", default=None)
@@ -172,6 +176,29 @@ def main(argv=None):
         if step_i % args.snapshot_every == 0 or step_i == cfg.train.iterations:
             path = save_checkpoint(ckpt_dir, state, step_i)
             print(f"saved {path}")
+        if args.eval_every and step_i % args.eval_every == 0:
+            # in-training evaluation (reference evaluator extension,
+            # train.py:164-166) — mask or keypoint metric by head type.
+            variables_now = {"params": jax.device_get(state.params),
+                             "batch_stats": jax.device_get(state.batch_stats)}
+            eval_batches = (
+                iter(type(data)(cfg, seed=args.seed + 999))
+                if args.dataset == "synthetic" else iter(data)
+            )
+            if cfg.model.head == "fpn_keypoint":
+                from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
+
+                rep = evaluate_keypoint_dataset(
+                    cfg, model, variables_now, eval_batches, args.eval_batches)
+            else:
+                from maskrcnn_tpu.eval.evaluator import evaluate_dataset
+
+                rep = evaluate_dataset(
+                    cfg, model, variables_now, eval_batches, args.eval_batches)
+            print(f"[eval @{step_i}] " + " ".join(
+                f"{k}={v:.4f}" for k, v in rep.items()
+                if isinstance(v, float) and "/" not in k or k.startswith("coco")
+            ))
     logger.close()
 
 

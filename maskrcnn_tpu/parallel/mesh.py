@@ -28,11 +28,23 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch onto the mesh, sharded along the leading dim."""
+    """Place a host batch onto the mesh, sharded along the leading dim.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    its LOCAL shard (the data loader already splits the dataset by
+    ``jax.process_index()``) and the global array is assembled with
+    ``make_array_from_process_local_data`` — no cross-host data movement.
+    """
+    multi_host = jax.process_count() > 1
+
     def put(x):
         if x is None:
             return None
         sharding = NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
+        if multi_host:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
