@@ -133,6 +133,12 @@ def main(argv=None):
         )
         batches = iter(data)
 
+    # overlap host data prep with device steps (reference
+    # MultithreadIterator equivalent)
+    from maskrcnn_tpu.data.prefetch import Prefetcher
+
+    batches = Prefetcher(batches, size=2)
+
     if args.data_parallel:
         from maskrcnn_tpu.parallel import (
             make_mesh,

@@ -228,3 +228,30 @@ class TestNativeParity:
         crop = mask[10:50, 12:70].astype(np.float32)
         want = cv2.resize(crop, (28, 28), interpolation=cv2.INTER_LINEAR)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPrefetcher:
+    def test_yields_in_order_and_overlaps(self):
+        from maskrcnn_tpu.data.prefetch import Prefetcher
+        import time
+
+        def slow_gen():
+            for i in range(5):
+                time.sleep(0.02)
+                yield i
+
+        p = Prefetcher(slow_gen(), size=2)
+        assert list(p) == [0, 1, 2, 3, 4]
+
+    def test_propagates_errors(self):
+        from maskrcnn_tpu.data.prefetch import Prefetcher
+
+        def bad_gen():
+            yield 1
+            raise RuntimeError("loader broke")
+
+        p = Prefetcher(bad_gen())
+        assert next(p) == 1
+        with pytest.raises(RuntimeError, match="loader broke"):
+            for _ in p:
+                pass

@@ -142,3 +142,20 @@ class TestKeypointEval:
         boxes = np.array([[0, 0, 50, 50]], np.float32)
         got = pck([pred], [gt], [boxes])
         assert got == pytest.approx(9 / 17)
+
+
+def test_predict_zero_detections_is_clean():
+    """High score threshold + untrained net → all slots invalid, all finite."""
+    import jax
+    from maskrcnn_tpu.eval import make_predict_fn
+    from maskrcnn_tpu.train import init_model
+
+    cfg = cfg_lib.use_preset(cfg_lib.tiny_test(), "visualize")
+    model, variables = init_model(cfg, jax.random.key(0))
+    predict = make_predict_fn(cfg, model)
+    h, w = cfg.train.image_size
+    det = predict(variables, jnp.zeros((1, h, w, 3)),
+                  jnp.asarray([[h, w]], jnp.float32), jnp.ones((1,)))
+    assert int(det.valid.sum()) == 0
+    assert bool(jnp.isfinite(det.boxes).all())
+    assert bool(jnp.isfinite(det.masks).all())

@@ -90,3 +90,38 @@ class TestTrainStep:
         b0 = before["extractor"]["conv1"]["Conv_0"]["kernel"]
         a0 = after["extractor"]["conv1"]["Conv_0"]["kernel"]
         assert not np.allclose(np.asarray(b0), np.asarray(a0))
+
+
+@pytest.mark.slow
+def test_c4_res5_train_and_predict():
+    """The C4+Res5 config (per-class locs, single level) trains one step and
+    predicts with finite outputs — exercises the per-class decode path."""
+    from maskrcnn_tpu import config as cfg_lib
+    from maskrcnn_tpu.eval import make_predict_fn
+
+    cfg = cfg_lib.c4_res5()
+    cfg = cfg_lib._rep(
+        cfg,
+        model=dict(n_fg_class=3),
+        train=dict(batch_size=1, image_size=(128, 160), max_gt=4,
+                   gt_mask_size=56),
+        proposals=dict(n_train_pre_nms=256, n_train_post_nms=32,
+                       n_test_pre_nms=128, n_test_post_nms=16),
+        sampler=dict(n_sample=16),
+        eval=dict(max_detections=8),
+    )
+    model, variables = init_model(cfg, jax.random.key(0))
+    state = create_train_state(cfg, variables, jax.random.key(1))
+    step = make_train_step(cfg, model)
+    data = SyntheticDetectionData(cfg)
+    state, metrics = step(state, _to_device(data.batch(0)))
+    assert np.isfinite(float(metrics["loss"]))
+
+    predict = make_predict_fn(cfg, model)
+    b = data.batch(1)
+    det = predict({"params": state.params, "batch_stats": state.batch_stats},
+                  jnp.asarray(b.images), jnp.asarray(b.img_hw),
+                  jnp.asarray(b.scale))
+    assert det.boxes.shape == (1, 8, 4)
+    assert bool(jnp.isfinite(det.boxes).all())
+    assert det.masks.shape[2:] == (14, 14)
