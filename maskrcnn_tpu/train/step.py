@@ -114,11 +114,25 @@ def make_train_step(cfg: Config, model: MaskRCNN):
         )
 
         rois, levels, batch_idx = _flatten_rois(sample.rois, sample.levels)
-        (roi_cls_locs, roi_scores, roi_masks), mut2 = model.apply(
+        (roi_cls_locs, roi_scores), mut2 = model.apply(
             {"params": params, "batch_stats": mut["batch_stats"]},
-            features, rois, batch_idx, levels, True,
+            features, rois, batch_idx, levels,
             mutable=["batch_stats"],
-            method=MaskRCNN.head_full,
+            method=MaskRCNN.head_box,
+        )
+
+        # Mask branch only on the positive slots: the sampler places
+        # positives FIRST (slots [0, n_pos_cap)), and only positives carry
+        # mask/keypoint loss — 4× less mask pooling + branch work than the
+        # reference, identical gradients.
+        n_pos_cap = int(round(cfg.sampler.n_sample * cfg.sampler.pos_ratio))
+        pos_rois, pos_levels, pos_bi = _flatten_rois(
+            sample.rois[:, :n_pos_cap], sample.levels[:, :n_pos_cap]
+        )
+        roi_masks = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            features, pos_rois, pos_bi, pos_levels,
+            method=MaskRCNN.head_mask,
         )
 
         at = anchor_targets(
@@ -151,23 +165,25 @@ def make_train_step(cfg: Config, model: MaskRCNN):
         roi_cls_loss = L.softmax_ce_ignore(roi_scores, cls_labels)
 
         # ---- mask / keypoint loss (injected in reference; train.py:50-58) --
-        pos_flat = (sample.is_pos & sample.valid).reshape(-1)
+        # restricted to the positive slots pooled above
+        sample_pos = type(sample)(*(x[:, :n_pos_cap] for x in sample))
+        pos_flat = (sample_pos.is_pos & sample_pos.valid).reshape(-1)
         if is_keypoint:
             kp_t = keypoint_targets(
-                sample, batch.gt_keypoints, mask_size=cfg.model.mask_size
+                sample_pos, batch.gt_keypoints, mask_size=cfg.model.mask_size
             )
             mask_loss = L.keypoint_ce_loss(
                 roi_masks, kp_t.reshape(-1, kp_t.shape[-1]), pos_flat
             )
         else:
             m_t = mask_targets(
-                sample, batch.gt_masks, batch.gt_boxes,
+                sample_pos, batch.gt_masks, batch.gt_boxes,
                 mask_size=cfg.model.mask_size,
             )
             s = cfg.model.mask_size
             mask_loss = L.sigmoid_mask_loss(
                 roi_masks, m_t.reshape(-1, s, s),
-                sample.labels.reshape(-1), pos_flat,
+                sample_pos.labels.reshape(-1), pos_flat,
             )
 
         total = rpn_loc_loss + rpn_cls_loss + roi_loc_loss + roi_cls_loss + mask_loss
