@@ -144,8 +144,9 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
         flat_boxes = det_boxes.reshape(b * d, 4)
         flat_levels = map_rois_to_fpn_levels(flat_boxes, 0, n_levels - 1)
         flat_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        class_idx = None if is_keypoint else det_labels.reshape(b * d)
         mask_logits = model.apply(
-            variables, features, flat_boxes, flat_bi, flat_levels,
+            variables, features, flat_boxes, flat_bi, flat_levels, class_idx,
             method=MaskRCNN.head_mask,
         )
 
@@ -155,11 +156,14 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             return Detections(det_boxes, det_scores, det_labels, det_valid,
                               None, heat)
 
-        # select GT class channel, sigmoid (reference :231-239)
-        ch = jnp.clip(det_labels.reshape(b * d), 0, mask_logits.shape[-1] - 1)
-        sel = jnp.take_along_axis(
-            mask_logits, ch[:, None, None, None], axis=-1
-        )[..., 0]
+        if mask_logits.ndim == 3:  # class-gathered (FPN mask head)
+            sel = mask_logits
+        else:  # heads without the gathered path (light/res5): select channel
+            ch = jnp.clip(det_labels.reshape(b * d), 0,
+                          mask_logits.shape[-1] - 1)
+            sel = jnp.take_along_axis(
+                mask_logits, ch[:, None, None, None], axis=-1
+            )[..., 0]
         s = sel.shape[-1]
         masks = jax.nn.sigmoid(sel).reshape(b, d, s, s)
         return Detections(det_boxes, det_scores, det_labels, det_valid,

@@ -213,7 +213,7 @@ def multilevel_roi_align_pallas(
     out_size: tuple[int, int],
     spatial_scales: tuple[float, ...],
     sampling_ratio: int = 2,
-    t_span: int = 28,
+    t_span: int = 20,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for :func:`maskrcnn_tpu.ops.multilevel_roi_align` using the

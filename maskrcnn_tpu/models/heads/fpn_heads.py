@@ -53,14 +53,21 @@ class BoxBranch(nn.Module):
 
 
 class MaskBranch(nn.Module):
-    """4× conv256 → deconv×2 → 1×1 conv to n_out; 14² in → 28² out."""
+    """4× conv256 → deconv×2 → 1×1 conv to n_out; 14² in → 28² out.
+
+    When ``class_idx`` is given, the final 1×1 conv evaluates ONLY each
+    ROI's class channel (a per-ROI dot with that class's filters) —
+    training and the second predict pass both use exactly one channel per
+    ROI, so materializing all n_out channels (126 MB at 512×28²×79 f32,
+    plus a take_along_axis gather) is pure waste. Identical numerics.
+    """
 
     n_out: int
     n_convs: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pooled: jnp.ndarray):
+    def __call__(self, pooled: jnp.ndarray, class_idx: jnp.ndarray | None = None):
         dt = self.dtype
         h = pooled
         for i in range(self.n_convs):
@@ -69,8 +76,19 @@ class MaskBranch(nn.Module):
         h = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt,
                              name="deconv1")(h)
         # Reference applies conv2 directly on the deconv output (no relu).
-        h = nn.Conv(self.n_out, (1, 1), dtype=dt, name="conv2")(h)
-        return h.astype(jnp.float32)
+        # Explicit params so the full and class-gathered paths share them.
+        c_in = h.shape[-1]
+        w = self.param("conv2_kernel", nn.initializers.lecun_normal(),
+                       (c_in, self.n_out))
+        b = self.param("conv2_bias", nn.initializers.zeros, (self.n_out,))
+        if class_idx is None:
+            out = jnp.einsum("rhwc,co->rhwo", h, w.astype(dt)) + b.astype(dt)
+            return out.astype(jnp.float32)
+        idx = jnp.clip(class_idx, 0, self.n_out - 1)
+        w_sel = w[:, idx].T.astype(dt)  # (R, c_in)
+        b_sel = b[idx].astype(dt)  # (R,)
+        out = jnp.einsum("rhwc,rc->rhw", h, w_sel) + b_sel[:, None, None]
+        return out.astype(jnp.float32)
 
 
 class FPNMaskHead(nn.Module):
@@ -87,14 +105,14 @@ class FPNMaskHead(nn.Module):
         self.box = BoxBranch(self.n_class, 4, self.dtype)
         self.mask = MaskBranch(self.n_class - 1, self.n_mask_convs, self.dtype)
 
-    def __call__(self, pooled_box, pooled_mask=None):
+    def __call__(self, pooled_box, pooled_mask=None, class_idx=None):
         locs, scores = self.box(pooled_box)
         if pooled_mask is None:
             return locs, scores, None
-        return locs, scores, self.mask(pooled_mask)
+        return locs, scores, self.mask(pooled_mask, class_idx)
 
-    def predict_mask(self, pooled_mask):
-        return self.mask(pooled_mask)
+    def predict_mask(self, pooled_mask, class_idx=None):
+        return self.mask(pooled_mask, class_idx)
 
 
 class KeypointBranch(nn.Module):

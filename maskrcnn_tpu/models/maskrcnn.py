@@ -158,11 +158,16 @@ class MaskRCNN(nn.Module):
             return self.head(pooled_box, pooled_mask, train)
         return self.head(pooled_box, pooled_mask)
 
-    def head_mask(self, features, rois, roi_batch_idx, roi_levels):
+    def head_mask(self, features, rois, roi_batch_idx, roi_levels,
+                  class_idx=None):
         """Pass-2 head: mask branch on refined boxes (reference
-        predict_mask, fpn_roi_mask_head.py:90-102)."""
+        predict_mask, fpn_roi_mask_head.py:90-102). ``class_idx`` (FPN mask
+        head only) evaluates just each ROI's class channel — the only one
+        train/predict ever consume."""
         pooled = self.pool(features, rois, roi_batch_idx, roi_levels,
                            (self.head.roi_size_mask, self.head.roi_size_mask))
+        if class_idx is not None and isinstance(self.head, FPNMaskHead):
+            return self.head.predict_mask(pooled, class_idx)
         return self.head.predict_mask(pooled)
 
     # ---- default entry (single-chip forward, used by __graft_entry__) -----

@@ -59,21 +59,25 @@ def softmax_ce_ignore(
 
 
 def sigmoid_mask_loss(
-    mask_logits: jnp.ndarray,  # (N, S, S, n_fg_class)
+    mask_logits: jnp.ndarray,  # (N, S, S) pre-selected OR (N, S, S, n_fg)
     mask_targets: jnp.ndarray,  # (N, S, S) binary float
     labels: jnp.ndarray,  # (N,) int32, bg=0 convention
     is_pos: jnp.ndarray,  # (N,) bool — only positives contribute
 ) -> jnp.ndarray:
     """Per-class binary mask loss (reference train.py:50-58).
 
-    Selects the channel of the GT class (label−1) and averages sigmoid CE
-    over all pixels of positive samples (chainer sigmoid_cross_entropy
-    normalize=True semantics).
+    Averages sigmoid CE of the GT class's channel over all pixels of
+    positive samples (chainer sigmoid_cross_entropy normalize=True
+    semantics). Accepts logits already gathered to the GT class (3-D, the
+    class-gathered head path) or the full per-class stack (4-D).
     """
-    ch = jnp.clip(labels - 1, 0, mask_logits.shape[-1] - 1)
-    sel = jnp.take_along_axis(
-        mask_logits, ch[:, None, None, None], axis=-1
-    )[..., 0]  # (N, S, S)
+    if mask_logits.ndim == 3:
+        sel = mask_logits
+    else:
+        ch = jnp.clip(labels - 1, 0, mask_logits.shape[-1] - 1)
+        sel = jnp.take_along_axis(
+            mask_logits, ch[:, None, None, None], axis=-1
+        )[..., 0]  # (N, S, S)
     ce = jnp.maximum(sel, 0.0) - sel * mask_targets + jnp.log1p(jnp.exp(-jnp.abs(sel)))
     w = is_pos.astype(jnp.float32)[:, None, None]
     denom = jnp.maximum(w.sum() * ce.shape[1] * ce.shape[2], 1.0)

@@ -129,9 +129,15 @@ def make_train_step(cfg: Config, model: MaskRCNN):
         pos_rois, pos_levels, pos_bi = _flatten_rois(
             sample.rois[:, :n_pos_cap], sample.levels[:, :n_pos_cap]
         )
+        # class-gathered final conv (FPN mask head): compute only each
+        # positive's GT-class mask channel.
+        class_idx = (
+            None if is_keypoint
+            else (sample.labels[:, :n_pos_cap] - 1).reshape(-1)
+        )
         roi_masks = model.apply(
             {"params": params, "batch_stats": mut["batch_stats"]},
-            features, pos_rois, pos_bi, pos_levels,
+            features, pos_rois, pos_bi, pos_levels, class_idx,
             method=MaskRCNN.head_mask,
         )
 
