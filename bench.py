@@ -22,11 +22,13 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--preset", default="fpn_mask")
-    p.add_argument("--dtype", default="float32",
+    # bf16 compute (f32 master weights/accumulation) is the standard TPU
+    # training regime and this framework's headline configuration.
+    p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi-align", default="auto",
                    choices=["auto", "region", "gather", "pallas"])

@@ -46,7 +46,16 @@ class SyntheticDetectionData:
             x0 = rng.uniform(0, w - bw)
             y1, x1 = y0 + bh, x0 + bw
             cls = rng.randint(0, cfg.model.n_fg_class)
-            color = rng.uniform(0.4, 1.0, (3,)).astype(np.float32)
+            # class determines color (learnable classification): a fixed
+            # per-class palette hue + small jitter.
+            base = np.array([
+                ((cls * 2654435761) % 255) / 255.0,
+                ((cls * 40503 + 89) % 255) / 255.0,
+                ((cls * 9176 + 191) % 255) / 255.0,
+            ], np.float32)
+            color = np.clip(
+                0.35 + 0.6 * base + rng.uniform(-0.05, 0.05, 3), 0.0, 1.0
+            ).astype(np.float32)
             shape_kind = rng.randint(0, 2)
 
             yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
