@@ -44,7 +44,13 @@ def _keep_top_random(mask: jnp.ndarray, key: jax.Array, k: jnp.ndarray | int,
     """
     k_max = min(k_max, mask.shape[-1])  # tiny configs: fewer anchors than k
     pri = jnp.where(mask, jax.random.uniform(key, mask.shape), -1.0)
-    top_vals, _ = jax.lax.top_k(pri, k_max)
+    if jax.default_backend() == "tpu" and k_max < mask.shape[-1]:
+        # selecting a RANDOM subset: approximate top-k of random priorities
+        # is still a uniform random subset — skip the exact 205k-element sort
+        top_vals, _ = jax.lax.approx_max_k(pri, k_max)
+        top_vals = jnp.sort(top_vals)[::-1]
+    else:
+        top_vals, _ = jax.lax.top_k(pri, k_max)
     kth = top_vals[jnp.clip(k - 1, 0, k_max - 1)]
     keep = mask & (pri >= kth)
     return jnp.where(k > 0, keep, jnp.zeros_like(keep))
