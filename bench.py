@@ -1,13 +1,24 @@
 """Headline benchmark: FPN Mask R-CNN training images/sec on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/BASELINE}
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/BASELINE, ...}
 
 Baseline anchor (see BASELINE.md): the reference publishes no numbers; its
 default config is batch-1 Mask R-CNN FPN/ResNet-50 on an AWS p2.xlarge (K80).
 Contemporary measurements of equivalent Chainer/Caffe2 Mask R-CNN put that
 class of setup at ~1 image/sec — we anchor vs_baseline at 1.0 img/s and note
 the >10x target from BASELINE.json.
+
+SELF-VALIDATION (added after round 1 recorded a physically impossible
+3443 img/s under a libtpu client/terminal mismatch): the JSON line now
+carries platform/device metadata, per-step p50/p90 ms, the compiled step's
+static FLOP count, and the implied model-FLOPs utilization (MFU). The run is
+marked ``"suspect": true`` (with a reason) whenever the numbers violate
+physics: implied MFU above ~60% of the chip's peak, or a mismatch between
+the chained-throughput clock and the per-step clock. Timing is closed by a
+device->host transfer of the final loss (``float(...)``) — unlike
+``block_until_ready``, a value fetch cannot complete before the compute
+that produces it.
 
 Usage: python bench.py [--steps N] [--batch B] [--height H] [--width W]
 """
@@ -17,6 +28,82 @@ from __future__ import annotations
 import argparse
 import json
 import time
+
+# bf16 peak matmul FLOP/s per chip, by device_kind substring. Used only for
+# the MFU sanity bound — approximate is fine.
+_PEAK_FLOPS = [
+    ("v6", 918e12),        # Trillium
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),   # v5e
+    ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+]
+
+MFU_SUSPECT_BOUND = 0.60  # detection train steps never exceed this
+CLOCK_MISMATCH_BOUND = 3.0  # chained vs per-step rate ratio
+
+
+def _peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key, peak in _PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _device_meta():
+    import jax
+
+    d = jax.devices()[0]
+    return {
+        "platform": d.platform,
+        "device_kind": d.device_kind,
+        "n_devices": len(jax.devices()),
+        "jax_version": jax.__version__,
+    }
+
+
+def _static_flops(jitted, *args) -> float | None:
+    """Per-invocation FLOPs of the compiled computation, via XLA's own
+    cost analysis. None when the backend doesn't expose it."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca.get("flops")
+        return float(flops) if flops and flops > 0 else None
+    except Exception:
+        return None
+
+
+def _validate(record: dict, flops: float | None, peak: float | None,
+              step_ms_chained: float, step_ms_p50: float) -> None:
+    """Attach MFU + suspect flags to the record, mutating it."""
+    reasons = []
+    if flops is not None:
+        record["step_flops"] = flops
+        implied = flops / (step_ms_chained / 1e3)
+        record["implied_tflops_per_sec"] = round(implied / 1e12, 2)
+        if peak is not None:
+            mfu = implied / peak
+            record["implied_mfu"] = round(mfu, 4)
+            if mfu > MFU_SUSPECT_BOUND:
+                reasons.append(
+                    f"implied MFU {mfu:.2f} exceeds {MFU_SUSPECT_BOUND} of "
+                    f"{peak/1e12:.0f} TFLOP/s peak — physically implausible"
+                )
+    ratio = step_ms_p50 / max(step_ms_chained, 1e-9)
+    if ratio > CLOCK_MISMATCH_BOUND or ratio < 1.0 / CLOCK_MISMATCH_BOUND:
+        reasons.append(
+            f"chained clock {step_ms_chained:.1f} ms/step disagrees with "
+            f"per-step clock p50 {step_ms_p50:.1f} ms by {ratio:.1f}x — "
+            "async dispatch may not be flushing"
+        )
+    if reasons:
+        record["suspect"] = True
+        record["suspect_reason"] = "; ".join(reasons)
 
 
 def main():
@@ -53,6 +140,9 @@ def main():
                    remat=args.remat),
     )
 
+    meta = _device_meta()
+    peak = _peak_flops(meta["device_kind"])
+
     model, variables = init_model(cfg, jax.random.key(0))
     data = SyntheticDetectionData(cfg)
     batch = jax.tree.map(jnp.asarray, data.batch(0))
@@ -62,46 +152,73 @@ def main():
 
         predict = make_predict_fn(cfg, model)
         det = predict(variables, batch.images, batch.img_hw, batch.scale)
-        jax.block_until_ready(det.scores)
+        float(det.scores.sum())  # warmup, forced completion
         times = []
         for _ in range(args.steps):
             t0 = time.perf_counter()
             det = predict(variables, batch.images, batch.img_hw, batch.scale)
-            jax.block_until_ready(det.scores)
+            float(det.scores.sum())
             times.append(time.perf_counter() - t0)
         times.sort()
         p50 = times[len(times) // 2] * 1000
-        print(json.dumps({
+        p90 = times[min(len(times) - 1, int(len(times) * 0.9))] * 1000
+        record = {
             "metric": f"predict_p50_ms_{args.preset}_{args.height}x{args.width}_b{args.batch}",
             "value": round(p50, 2),
             "unit": "ms",
             # reference published no inference latency; anchor 1000 ms
             # (batch-1 two-pass predict on its CPU/K80 era hardware).
             "vs_baseline": round(1000.0 / p50, 3),
-        }))
+            "p90_ms": round(p90, 2),
+            **meta,
+        }
+        print(json.dumps(record))
         return
 
     state = create_train_state(cfg, variables, jax.random.key(1))
     step = make_train_step(cfg, model)
 
-    # compile + warmup
-    state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    flops = _static_flops(step, state, batch)
 
+    # compile + warmup (forced completion via host transfer)
+    state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    # clock 1: per-step, host-synced each iteration (immune to async lying)
+    per_step = []
+    for _ in range(max(5, args.steps // 4)):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        float(metrics["loss"])
+        per_step.append(time.perf_counter() - t0)
+    per_step.sort()
+    p50_ms = per_step[len(per_step) // 2] * 1000
+    p90_ms = per_step[min(len(per_step) - 1, int(len(per_step) * 0.9))] * 1000
+
+    # clock 2: chained throughput, one forced transfer at the end (each step
+    # consumes the previous state, so the final loss transitively forces all)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    chained_ms = dt / args.steps * 1000
 
     imgs_per_sec = args.batch * args.steps / dt
     baseline = 1.0  # img/s; see BASELINE.md anchor note
-    print(json.dumps({
+    record = {
         "metric": f"train_images_per_sec_{args.preset}_{args.height}x{args.width}_b{args.batch}",
         "value": round(imgs_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-    }))
+        "step_ms_chained": round(chained_ms, 2),
+        "step_ms_p50": round(p50_ms, 2),
+        "step_ms_p90": round(p90_ms, 2),
+        "final_loss": round(final_loss, 4),
+        **meta,
+    }
+    _validate(record, flops, peak, chained_ms, p50_ms)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

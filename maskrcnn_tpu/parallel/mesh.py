@@ -21,8 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices.
+
+    Raises when fewer than ``n_devices`` exist — an "8-way" mesh that
+    silently becomes 1-way would let multichip checks pass vacuously.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devices)} device(s) "
+                f"available ({[str(d) for d in devices]}); for a virtual "
+                "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count={n_devices} and JAX_PLATFORMS=cpu before jax "
+                "initializes"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
