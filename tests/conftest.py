@@ -26,6 +26,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_sessionstart(session):
+    """Fail loudly if the backend forcing was ignored (e.g. a pre-initialized
+    TPU backend) — an '8-way' suite quietly running 1-way on another
+    platform is worse than an error."""
+    devices = jax.devices()
+    platforms = {d.platform for d in devices}
+    if platforms != {"cpu"} or len(devices) < 8:
+        pytest.exit(
+            f"test env requires a forced 8-device CPU backend, got "
+            f"{len(devices)} device(s) on {sorted(platforms)}; run pytest "
+            "from a shell with JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 if the "
+            "in-process forcing below is too late in your environment",
+            returncode=3,
+        )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

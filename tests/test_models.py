@@ -78,6 +78,7 @@ def test_proposal_generation_fixed_shapes():
     assert np.asarray(props.levels).max() == 0
 
 
+@pytest.mark.slow
 class TestFacade:
     def _forward(self, cfg):
         model = MaskRCNN(cfg)
@@ -178,6 +179,7 @@ def test_select_roi_locs_per_class():
     np.testing.assert_allclose(np.asarray(select_roi_locs(agn, labels)), 1.0)
 
 
+@pytest.mark.slow
 def test_res5_head_shapes():
     from maskrcnn_tpu.models.heads import Res5Head
     h = Res5Head(n_class=4)

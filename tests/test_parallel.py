@@ -16,6 +16,8 @@ from maskrcnn_tpu.parallel import (
 )
 from maskrcnn_tpu.train import create_train_state, init_model, make_train_step
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(batch_size):
     cfg = cfg_lib.tiny_test()

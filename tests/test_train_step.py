@@ -15,6 +15,7 @@ def _to_device(batch):
     return jax.tree.map(jnp.asarray, batch)
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_tiny_mask_step_runs_and_losses_finite(self):
         cfg = cfg_lib.tiny_test()
