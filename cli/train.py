@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--weight", default=None,
                    help="checkpoint path for warm start (reference --weight)")
+    p.add_argument("--pretrained-npz", default=None,
+                   help="chainer npz to initialize from: a ResNet50Layers "
+                        "ImageNet npz (reference ResNet50Layers('auto'), "
+                        "feature_pyramid_network.py:22) or a full serialized "
+                        "reference model (load_npz(strict=False) semantics, "
+                        "reference train.py:99-101)")
     p.add_argument("--resume", action="store_true",
                    help="exact resume from latest checkpoint in --out")
     p.add_argument("--data-parallel", action="store_true",
@@ -104,6 +110,14 @@ def main(argv=None):
         )
 
     model, variables = init_model(cfg, jax.random.key(args.seed))
+    if args.pretrained_npz:
+        from maskrcnn_tpu.utils.convert_chainer import load_pretrained
+
+        variables = load_pretrained(
+            variables, args.pretrained_npz,
+            backbone=cfg.model.backbone, head=cfg.model.head,
+            n_mask_convs=cfg.model.n_mask_convs,
+        )
     state = create_train_state(cfg, variables, jax.random.key(args.seed + 1))
 
     if args.resume:

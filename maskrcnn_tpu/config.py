@@ -85,6 +85,11 @@ class ModelConfig:
     # rematerialize backbone activations in the backward pass — trades
     # FLOPs for HBM, unlocking larger per-chip batches.
     remat: bool = False
+    # Reproduce the reference Light-Head mask-branch bug (convs computed
+    # then discarded, deconv on the raw pool — light_roi_mask_head.py:101-104).
+    # Required to load the published reference checkpoint, whose deconv was
+    # lazily initialized against the 490-ch pool.
+    compat_mask_bug: bool = False
 
     @property
     def n_class(self) -> int:

@@ -38,7 +38,9 @@ class Norm(nn.Module):
         return nn.BatchNorm(
             use_running_average=use_running,
             momentum=0.9,
-            epsilon=1e-5,
+            # chainer L.BatchNormalization default (2e-5) — kept so converted
+            # reference/ImageNet weights reproduce the reference numerics.
+            epsilon=2e-5,
             dtype=self.dtype,
         )(x)
 

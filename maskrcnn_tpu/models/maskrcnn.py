@@ -76,7 +76,8 @@ def build_head(cfg: Config, dtype) -> nn.Module:
     if m.head == "fpn_keypoint":
         return FPNKeypointHead(m.n_class, m.n_keypoints, m.n_mask_convs, dtype)
     if m.head == "light":
-        return LightHead(m.n_class, dtype=dtype)
+        return LightHead(m.n_class, compat_mask_bug=m.compat_mask_bug,
+                         dtype=dtype)
     if m.head == "res5":
         return Res5Head(m.n_class, m.freeze_bn, dtype)
     raise ValueError(f"unknown head {m.head!r}")

@@ -78,3 +78,268 @@ def test_conv_kernel_transpose_semantics(rng):
     )
     want = np.einsum("bhwi,oi->bhwo", x, w[:, :, 0, 0])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-model conversion (round 2): fabricate serialized reference models
+# (save_npz of the MaskRCNN chain, reference train.py:135) and verify the
+# converted trees drop into our models exactly, plus forward-numerics parity
+# of every layout transform beyond 1x1 convs.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from maskrcnn_tpu.utils.convert_chainer import (
+    _conv,
+    _deconv,
+    _linear,
+    convert_full_npz,
+    load_pretrained,
+    merge_loose,
+)
+
+
+def _add_conv(d, rng, name, o, i, kh, kw=None, bias=True):
+    kw = kh if kw is None else kw
+    d[f"{name}/W"] = (rng.randn(o, i, kh, kw) * 0.05).astype(np.float32)
+    if bias:
+        d[f"{name}/b"] = (rng.randn(o) * 0.01).astype(np.float32)
+
+
+def _add_deconv(d, rng, name, i, o, k):
+    # chainer Deconvolution2D W is (in, out, kh, kw)
+    d[f"{name}/W"] = (rng.randn(i, o, k, k) * 0.05).astype(np.float32)
+    d[f"{name}/b"] = (rng.randn(o) * 0.01).astype(np.float32)
+
+
+def _add_linear(d, rng, name, o, i):
+    d[f"{name}/W"] = (rng.randn(o, i) * 0.05).astype(np.float32)
+    d[f"{name}/b"] = (rng.randn(o) * 0.01).astype(np.float32)
+
+
+def _add_bn(d, rng, name, c):
+    d[f"{name}/gamma"] = rng.rand(c).astype(np.float32) + 0.5
+    d[f"{name}/beta"] = (rng.randn(c) * 0.1).astype(np.float32)
+    d[f"{name}/avg_mean"] = (rng.randn(c) * 0.1).astype(np.float32)
+    d[f"{name}/avg_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+
+def fabricate_fpn_full(rng, n_class):
+    """Full serialized FPN Mask R-CNN: extractor/resnet + FPN convs + rpn +
+    fpn mask head, with the reference's exact chainer shapes."""
+    d = {}
+    for k, v in fabricate_chainer_resnet50(rng).items():
+        d[f"extractor/resnet/{k}"] = v
+    _add_conv(d, rng, "extractor/toplayer", 256, 2048, 1)
+    _add_conv(d, rng, "extractor/conv_p4", 256, 256, 3)
+    _add_conv(d, rng, "extractor/conv_p3", 256, 256, 3)
+    _add_conv(d, rng, "extractor/conv_p2", 256, 256, 3)
+    _add_conv(d, rng, "extractor/conv_p6", 256, 256, 1)
+    _add_conv(d, rng, "extractor/lat_p4", 256, 1024, 1)
+    _add_conv(d, rng, "extractor/lat_p3", 256, 512, 1)
+    _add_conv(d, rng, "extractor/lat_p2", 256, 256, 1)
+    _add_conv(d, rng, "rpn/conv", 256, 256, 3)
+    _add_conv(d, rng, "rpn/score", 6, 256, 1)
+    _add_conv(d, rng, "rpn/loc", 12, 256, 1)
+    _add_conv(d, rng, "head/conv1", 256, 256, 3)
+    _add_linear(d, rng, "head/fc1", 1024, 7 * 7 * 256)
+    _add_linear(d, rng, "head/fc2", 1024, 1024)
+    _add_linear(d, rng, "head/cls_loc", 4, 1024)
+    _add_linear(d, rng, "head/score", n_class, 1024)
+    for i in range(1, 5):
+        _add_conv(d, rng, f"head/mask{i}", 256, 256, 3)
+    _add_deconv(d, rng, "head/deconv1", 256, 256, 2)
+    _add_conv(d, rng, "head/conv2", n_class - 1, 256, 1)
+    return d
+
+
+def fabricate_darknet_tiny_full(rng, n_class, n_anchor=1):
+    """Serialized darknet + fpn-mask-head model matching the tiny_test
+    preset (darknet ConvBatch chains, reference darknet.py:30-38)."""
+    d = {}
+    in_ch = 3
+    for i, ch in enumerate((16, 32, 64, 128, 256)):
+        _add_conv(d, rng, f"extractor/conv{i+1}/c", ch, in_ch, 3)
+        _add_bn(d, rng, f"extractor/conv{i+1}/bn", ch)
+        in_ch = ch
+    _add_conv(d, rng, "rpn/conv", 256, 256, 3)
+    _add_conv(d, rng, "rpn/score", n_anchor * 2, 256, 1)
+    _add_conv(d, rng, "rpn/loc", n_anchor * 4, 256, 1)
+    _add_conv(d, rng, "head/conv1", 256, 256, 3)
+    _add_linear(d, rng, "head/fc1", 1024, 7 * 7 * 256)
+    _add_linear(d, rng, "head/fc2", 1024, 1024)
+    _add_linear(d, rng, "head/cls_loc", 4, 1024)
+    _add_linear(d, rng, "head/score", n_class, 1024)
+    for i in range(1, 5):
+        _add_conv(d, rng, f"head/mask{i}", 256, 256, 3)
+    _add_deconv(d, rng, "head/deconv1", 256, 256, 2)
+    _add_conv(d, rng, "head/conv2", n_class - 1, 256, 1)
+    return d
+
+
+@pytest.mark.slow
+def test_convert_full_fpn_strict(rng):
+    """Every parameter the reference serializes maps onto our fpn_mask tree
+    with exact shapes (strict load parity)."""
+    from maskrcnn_tpu import config as cfg_lib
+    from maskrcnn_tpu.train import init_model
+
+    cfg = cfg_lib.fpn_mask()
+    cfg = cfg_lib._rep(cfg, train=dict(batch_size=1, image_size=(128, 160)))
+    _, variables = init_model(cfg, jax.random.key(0))
+
+    npz = fabricate_fpn_full(rng, n_class=cfg.model.n_class)
+    params, stats = convert_full_npz(npz, "fpn", "fpn")
+    errs = tree_shapes_match(params, jax.tree.map(np.asarray, variables["params"]))
+    assert not errs, errs[:10]
+    errs = tree_shapes_match(stats, jax.tree.map(np.asarray, variables["batch_stats"]))
+    assert not errs, errs[:10]
+
+
+def test_load_pretrained_tiny_darknet(rng, tmp_path):
+    """End-to-end --pretrained-npz path on the tiny config: a fabricated
+    full darknet model npz loads every tensor; values land where expected."""
+    from maskrcnn_tpu import config as cfg_lib
+    from maskrcnn_tpu.train import init_model
+
+    cfg = cfg_lib.tiny_test()
+    _, variables = init_model(cfg, jax.random.key(0))
+
+    npz = fabricate_darknet_tiny_full(
+        rng, n_class=cfg.model.n_class,
+        n_anchor=len(cfg.anchors.ratios))
+    path = tmp_path / "model.npz"
+    np.savez(path, **npz)
+
+    out = load_pretrained(variables, str(path), backbone="darknet",
+                          head="fpn", verbose=False)
+    # spot-check a planted value went to the right leaf, transposed
+    got = np.asarray(out["params"]["extractor"]["conv3"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(got, _conv(npz["extractor/conv3/c/W"]))
+    got = np.asarray(out["params"]["head"]["mask"]["conv2_kernel"])
+    np.testing.assert_allclose(got, npz["head/conv2/W"][:, :, 0, 0].T)
+    got = np.asarray(out["batch_stats"]["extractor"]["conv5"]["Norm_0"]["BatchNorm_0"]["mean"])
+    np.testing.assert_allclose(got, npz["extractor/conv5/bn/avg_mean"])
+
+
+def test_merge_loose_backbone_only(rng):
+    """ImageNet-npz warm start: backbone leaves overwritten, heads kept at
+    init, and the load reports what it touched (strict=False semantics,
+    reference train.py:99-101)."""
+    init_tree = {
+        "extractor": {"conv": {"kernel": np.zeros((3, 3, 4, 8), np.float32)}},
+        "head": {"fc": {"kernel": np.zeros((8, 2), np.float32)}},
+    }
+    w = rng.randn(3, 3, 4, 8).astype(np.float32)
+    merged, loaded, skipped = merge_loose(
+        init_tree, {"extractor": {"conv": {"kernel": w}}})
+    np.testing.assert_allclose(merged["extractor"]["conv"]["kernel"], w)
+    assert merged["head"]["fc"]["kernel"].sum() == 0
+    assert loaded == ["/extractor/conv/kernel"]
+    assert "/head" in skipped
+
+    with pytest.raises(ValueError, match="shape"):
+        merge_loose(init_tree, {"extractor": {"conv": {"kernel": w[..., :4]}}})
+
+
+# --- forward-numerics parity of the layout transforms (beyond 1x1) --------
+
+def _np_conv_nchw(x, w, b, pad):
+    """Direct NCHW convolution, chainer semantics (stride 1)."""
+    n, ci, h, wd = x.shape
+    o, _, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    out = np.zeros((n, o, h + 2 * pad - kh + 1, wd + 2 * pad - kw + 1), np.float32)
+    for di in range(kh):
+        for dj in range(kw):
+            piece = xp[:, :, di:di + out.shape[2], dj:dj + out.shape[3]]
+            out += np.einsum("nchw,oc->nohw", piece, w[:, :, di, dj])
+    return out + b[None, :, None, None]
+
+
+def _np_deconv_nchw_s2k2(x, w, b):
+    """chainer Deconvolution2D(ksize=2, stride=2, pad=0): W (in, out, 2, 2)."""
+    n, ci, h, wd = x.shape
+    _, o, kh, kw = w.shape
+    out = np.zeros((n, o, h * 2, wd * 2), np.float32)
+    for di in range(kh):
+        for dj in range(kw):
+            out[:, :, di::2, dj::2] = np.einsum("nchw,co->nohw", x, w[:, :, di, dj])
+    return out + b[None, :, None, None]
+
+
+def test_conv3x3_forward_parity(rng):
+    """chainer 3x3 pad-1 conv == flax conv on the converted kernel."""
+    import flax.linen as nn
+
+    w = rng.randn(8, 5, 3, 3).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    x_nchw = rng.randn(2, 5, 7, 7).astype(np.float32)
+
+    want = _np_conv_nchw(x_nchw, w, b, pad=1)
+
+    conv = nn.Conv(8, (3, 3), padding=1)
+    out = conv.apply({"params": {"kernel": jnp.asarray(_conv(w)),
+                                 "bias": jnp.asarray(b)}},
+                     jnp.asarray(x_nchw.transpose(0, 2, 3, 1)))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deconv_forward_parity(rng):
+    """chainer Deconvolution2D(2,2) == flax ConvTranspose on converted W."""
+    import flax.linen as nn
+
+    w = rng.randn(6, 4, 2, 2).astype(np.float32)  # (in, out, kh, kw)
+    b = rng.randn(4).astype(np.float32)
+    x_nchw = rng.randn(2, 6, 5, 5).astype(np.float32)
+
+    want = _np_deconv_nchw_s2k2(x_nchw, w, b)
+
+    deconv = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    with jax.default_matmul_precision("float32"):
+        out = deconv.apply({"params": {"kernel": jnp.asarray(_deconv(w)),
+                                       "bias": jnp.asarray(b)}},
+                           jnp.asarray(x_nchw.transpose(0, 2, 3, 1)))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_box_branch_forward_parity(rng):
+    """The full box branch (conv3x3 + CHW-flatten fc1 + fc2 + heads) matches
+    a direct numpy implementation of the chainer graph on converted weights
+    (reference fpn_roi_mask_head.py:55-69)."""
+    from maskrcnn_tpu.models.heads.fpn_heads import BoxBranch
+
+    # real widths — BoxBranch hardcodes the reference's 256/1024
+    n_class, S, C, F = 4, 7, 256, 1024
+    d = {}
+    _add_conv(d, rng, "head/conv1", C, C, 3)
+    _add_linear(d, rng, "head/fc1", F, S * S * C)
+    _add_linear(d, rng, "head/fc2", F, F)
+    _add_linear(d, rng, "head/cls_loc", 4, F)
+    _add_linear(d, rng, "head/score", n_class, F)
+
+    x_nchw = rng.randn(3, C, S, S).astype(np.float32)
+
+    # chainer-semantics numpy forward
+    h = np.maximum(_np_conv_nchw(x_nchw, d["head/conv1/W"], d["head/conv1/b"], 1), 0)
+    h = h.reshape(h.shape[0], -1)  # NCHW flatten
+    h = np.maximum(h @ d["head/fc1/W"].T + d["head/fc1/b"], 0)
+    h = np.maximum(h @ d["head/fc2/W"].T + d["head/fc2/b"], 0)
+    want_locs = h @ d["head/cls_loc/W"].T + d["head/cls_loc/b"]
+    want_scores = h @ d["head/score/W"].T + d["head/score/b"]
+
+    params = {
+        "conv1": {"kernel": _conv(d["head/conv1/W"]), "bias": d["head/conv1/b"]},
+        "fc1": {"kernel": _linear(d["head/fc1/W"], chw=(C, S, S)), "bias": d["head/fc1/b"]},
+        "fc2": {"kernel": _linear(d["head/fc2/W"]), "bias": d["head/fc2/b"]},
+        "cls_loc": {"kernel": _linear(d["head/cls_loc/W"]), "bias": d["head/cls_loc/b"]},
+        "score": {"kernel": _linear(d["head/score/W"]), "bias": d["head/score/b"]},
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    with jax.default_matmul_precision("float32"):
+        locs, scores = BoxBranch(n_class).apply(
+            {"params": params}, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(locs), want_locs, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, rtol=1e-3, atol=1e-3)
