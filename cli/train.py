@@ -10,6 +10,13 @@ Run (synthetic data smoke):
   python cli/train.py --preset tiny_test --iterations 50 --out /tmp/run
 Real data:
   python cli/train.py --preset fpn_mask --coco-root /data/coco --out runs/fpn
+
+Mid-run control channel (chainerui CommandsExtension equivalent, reference
+train.py:168-169): write JSON to <out>/commands.json; it is consumed at the
+next logging boundary and renamed to commands.json.done. Supported keys:
+  {"snapshot": true}   take a full-state checkpoint now
+  {"eval": true}       run the in-training evaluator now
+  {"stop": true}       checkpoint and exit cleanly
 """
 
 from __future__ import annotations
@@ -25,8 +32,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fpn_mask",
-                   choices=["fpn_mask", "fpn_keypoint", "light_head",
-                            "c4_res5", "darknet_keypoint", "tiny_test"])
+                   choices=["fpn_mask", "parity", "fpn_keypoint",
+                            "light_head", "c4_res5", "darknet_keypoint",
+                            "tiny_test"])
     p.add_argument("--out", default="result",
                    help="output dir (reference --out)")
     p.add_argument("--iterations", type=int, default=None,
@@ -60,6 +68,10 @@ def parse_args(argv=None):
                    help="txt list of npz files (reference DepthDataset)")
     p.add_argument("--label-file", default="data/label_coco.txt",
                    help="class-name list (reference --label_file)")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated HxW static padding buckets, e.g. "
+                        "'800x1024,1024x800'; each image goes to its "
+                        "least-waste bucket (one compiled step per bucket)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-20")
     p.add_argument("--seed", type=int, default=0)
@@ -95,8 +107,34 @@ def main(argv=None):
         train_over["lr"] = args.lr
     if args.batch_size is not None:
         train_over["batch_size"] = args.batch_size
+    if args.buckets:
+        train_over["image_buckets"] = tuple(
+            tuple(int(v) for v in s.split("x"))
+            for s in args.buckets.split(",")
+        )
     if train_over:
         cfg = cfg_lib._rep(cfg, train=train_over)
+
+    # build the dataset first so the LR schedule can be epoch-aware
+    # (reference decays per EPOCH, train.py:140 / train_keypoints.py:158)
+    if args.dataset == "synthetic":
+        from maskrcnn_tpu.data import SyntheticDetectionData
+
+        data = SyntheticDetectionData(cfg, seed=args.seed)
+    elif args.dataset == "depth":
+        from maskrcnn_tpu.data.depth import DepthKeypointDataset
+
+        data = DepthKeypointDataset(cfg, args.depth_manifest, seed=args.seed)
+    else:
+        from maskrcnn_tpu.data.coco import COCODetectionLoader
+
+        data = COCODetectionLoader(
+            args.coco_root, args.coco_split, cfg, seed=args.seed
+        )
+    try:
+        cfg = cfg_lib._rep(cfg, train=dict(epoch_size=len(data)))
+    except TypeError:
+        pass  # synthetic stream has no length; keep the preset default
 
     os.makedirs(args.out, exist_ok=True)
     # persist the effective config (chainerui save_args equivalent,
@@ -128,24 +166,11 @@ def main(argv=None):
     elif args.weight:
         state = load_params_only(args.weight, state)
         print(f"warm-started params from {args.weight}")
+    start = int(state.step)
 
-    if args.dataset == "synthetic":
-        from maskrcnn_tpu.data import SyntheticDetectionData
-
-        data = SyntheticDetectionData(cfg, seed=args.seed)
-        batches = iter(data)
-    elif args.dataset == "depth":
-        from maskrcnn_tpu.data.depth import DepthKeypointDataset
-
-        data = DepthKeypointDataset(cfg, args.depth_manifest, seed=args.seed)
-        batches = iter(data)
-    else:
-        from maskrcnn_tpu.data.coco import COCODetectionLoader
-
-        data = COCODetectionLoader(
-            args.coco_root, args.coco_split, cfg, seed=args.seed
-        )
-        batches = iter(data)
+    # step-pure stream: on resume the loader seeks to the resumed step so
+    # the run sees exactly the batches an uninterrupted run would
+    batches = data.iter_from(start)
 
     # overlap host data prep with device steps (reference
     # MultithreadIterator equivalent)
@@ -153,6 +178,9 @@ def main(argv=None):
 
     batches = Prefetcher(batches, size=2)
 
+    # one compiled step per static bucket (multi-bucket pipeline keeps a
+    # small dict; single-bucket configs only ever populate one entry)
+    step_cache = {}
     if args.data_parallel:
         from maskrcnn_tpu.parallel import (
             make_mesh,
@@ -163,12 +191,21 @@ def main(argv=None):
 
         mesh = make_mesh()
         state = replicate(state, mesh)
-        step_fn = make_parallel_train_step(cfg, model, mesh)
+
+        def step_for(hw):
+            if hw not in step_cache:
+                step_cache[hw] = make_parallel_train_step(
+                    cfg, model, mesh, image_size=hw
+                )
+            return step_cache[hw]
 
         def put(b):
             return shard_batch(b, mesh)
     else:
-        step_fn = make_train_step(cfg, model)
+        def step_for(hw):
+            if hw not in step_cache:
+                step_cache[hw] = make_train_step(cfg, model, image_size=hw)
+            return step_cache[hw]
 
         def put(b):
             return jax.tree.map(
@@ -179,46 +216,77 @@ def main(argv=None):
     logger = MetricLogger(args.out, print_every=args.log_every)
     ckpt_dir = os.path.join(args.out, "checkpoints")
 
-    start = int(state.step)
+    def poll_commands():
+        """File-based control channel (see module docstring)."""
+        path = os.path.join(args.out, "commands.json")
+        if not os.path.exists(path):
+            return {}
+        try:
+            with open(path) as f:
+                cmds = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+        os.replace(path, path + ".done")
+        if not isinstance(cmds, dict):
+            return {}
+        return cmds
+
+    def run_eval(step_i):
+        # in-training evaluation (reference evaluator extension,
+        # train.py:164-166) — mask or keypoint metric by head type.
+        variables_now = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+        eval_batches = (
+            iter(type(data)(cfg, seed=args.seed + 999))
+            if args.dataset == "synthetic" else iter(data)
+        )
+        if cfg.model.head == "fpn_keypoint":
+            from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
+
+            rep = evaluate_keypoint_dataset(
+                cfg, model, variables_now, eval_batches, args.eval_batches)
+        else:
+            from maskrcnn_tpu.eval.evaluator import evaluate_dataset
+
+            rep = evaluate_dataset(
+                cfg, model, variables_now, eval_batches, args.eval_batches)
+        print(f"[eval @{step_i}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in rep.items()
+            if isinstance(v, float) and "/" not in k or k.startswith("coco")
+        ))
+
     for it in range(start, cfg.train.iterations):
         batch = put(next(batches))
         if args.profile_dir and it == start + 10:
             jax.profiler.start_trace(args.profile_dir)
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_for(tuple(batch.images.shape[1:3]))(state, batch)
         if args.profile_dir and it == start + 20:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
         step_i = it + 1
         if step_i % args.log_every == 0 or step_i == 1:
-            logger.log(step_i, {k: float(v) for k, v in metrics.items()},
+            scalars = {k: float(v) for k, v in metrics.items()}
+            if hasattr(data, "padding_waste"):
+                scalars["padding_waste"] = data.padding_waste()
+            logger.log(step_i, scalars,
                        n_images=cfg.train.batch_size * args.log_every,
                        lr=float(sched(step_i)))
         if step_i % args.snapshot_every == 0 or step_i == cfg.train.iterations:
             path = save_checkpoint(ckpt_dir, state, step_i)
             print(f"saved {path}")
         if args.eval_every and step_i % args.eval_every == 0:
-            # in-training evaluation (reference evaluator extension,
-            # train.py:164-166) — mask or keypoint metric by head type.
-            variables_now = {"params": jax.device_get(state.params),
-                             "batch_stats": jax.device_get(state.batch_stats)}
-            eval_batches = (
-                iter(type(data)(cfg, seed=args.seed + 999))
-                if args.dataset == "synthetic" else iter(data)
-            )
-            if cfg.model.head == "fpn_keypoint":
-                from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
-
-                rep = evaluate_keypoint_dataset(
-                    cfg, model, variables_now, eval_batches, args.eval_batches)
-            else:
-                from maskrcnn_tpu.eval.evaluator import evaluate_dataset
-
-                rep = evaluate_dataset(
-                    cfg, model, variables_now, eval_batches, args.eval_batches)
-            print(f"[eval @{step_i}] " + " ".join(
-                f"{k}={v:.4f}" for k, v in rep.items()
-                if isinstance(v, float) and "/" not in k or k.startswith("coco")
-            ))
+            run_eval(step_i)
+        if step_i % args.log_every == 0:
+            cmds = poll_commands()
+            if cmds.get("snapshot"):
+                print(f"[commands] snapshot at {step_i}: "
+                      f"{save_checkpoint(ckpt_dir, state, step_i)}")
+            if cmds.get("eval"):
+                run_eval(step_i)
+            if cmds.get("stop"):
+                print(f"[commands] stop at {step_i}")
+                save_checkpoint(ckpt_dir, state, step_i)
+                break
     logger.close()
 
 

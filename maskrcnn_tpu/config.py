@@ -99,13 +99,39 @@ class ModelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 2
-    image_size: tuple[int, int] = (800, 1024)  # static padded bucket (H, W)
+    image_size: tuple[int, int] = (800, 1024)  # primary padded bucket (H, W)
+    # optional extra static buckets: the data loader assigns each image to
+    # the bucket minimizing padding waste (by aspect ratio) and emits
+    # whole batches per bucket; the train loop keeps one compiled step per
+    # bucket (SURVEY §5 "bucketed padded resolutions" — the reference eats
+    # dynamic shapes instead). None → single-bucket (image_size only).
+    image_buckets: tuple[tuple[int, int], ...] | None = None
     lr: float = 1e-3
     momentum: float = 0.9
     weight_decay: float = 5e-4
     iterations: int = 200_000
     lr_decay_factor: float = 0.1
-    lr_decay_every_iters: int = 120_000  # ≈ "every 2 epochs" of COCO @ bs1
+    # LR decays every N EPOCHS (reference ExponentialShift('lr', 0.1) with an
+    # epoch trigger — train.py:140; keypoints every 3, train_keypoints.py:158).
+    # The step period scales with batch_size so batch-8 training decays at the
+    # same data-epoch points as the reference's batch-1 run.
+    lr_decay_every_epochs: float = 2.0
+    # images per epoch; the CLI overwrites this with len(dataset). Default is
+    # COCO-2014-train-ish so the bs1 default period lands near the reference.
+    epoch_size: int = 80_000
+    # explicit step-period override; when set, epochs/epoch_size are ignored.
+    lr_decay_every_iters: int | None = None
+
+    @property
+    def lr_decay_period(self) -> int:
+        """LR decay period in optimizer steps (batch-size aware)."""
+        if self.lr_decay_every_iters is not None:
+            return self.lr_decay_every_iters
+        return max(
+            1,
+            int(round(self.epoch_size * self.lr_decay_every_epochs
+                      / self.batch_size)),
+        )
     max_gt: int = 64  # padded GT slots per image
     gt_mask_size: int = 112  # GT masks stored at this res, ROIAligned to targets
     seed: int = 0
@@ -157,7 +183,12 @@ def _rep(cfg: Config, **sections) -> Config:
 
 def fpn_mask() -> Config:
     """FPN Mask R-CNN — reference `train.py --backbone fpn --head-arch fpn`."""
-    return Config()
+    # landscape + portrait buckets: COCO is ~2:1 landscape:portrait; a
+    # single 800×1024 bucket wastes ~22% padded area on portrait images.
+    return _rep(
+        Config(),
+        train=dict(image_buckets=((800, 1024), (1024, 800))),
+    )
 
 
 def fpn_keypoint() -> Config:
@@ -167,6 +198,8 @@ def fpn_keypoint() -> Config:
         cfg,
         model=dict(head="fpn_keypoint", n_fg_class=1, n_keypoints=17,
                    n_mask_convs=8, mask_size=56),
+        # reference train_keypoints.py:158: lr ×0.1 every 3 epochs
+        train=dict(lr_decay_every_epochs=3.0),
     )
 
 
@@ -199,7 +232,26 @@ def darknet_keypoint(n_keypoints: int = 20) -> Config:
                    n_keypoints=n_keypoints, n_mask_convs=2, mask_size=56),
         anchors=dict(scales=(4.0,)),  # anchor_sizes=[64] → 64/16
         proposals=dict(n_test_pre_nms=50, n_test_post_nms=10),  # maskrcnn.py:73-74
-        train=dict(image_size=(256, 320), batch_size=8),
+        train=dict(image_size=(256, 320), batch_size=8,
+                   lr_decay_every_epochs=3.0),
+    )
+
+
+def parity() -> Config:
+    """FPN Mask R-CNN with the reference's FULL proposal budgets
+    (12000/2000 train, 6000/300 test — reference
+    utils/proposal_creator.py:54-60 / chainercv defaults).
+
+    The default ``fpn_mask`` preset trims pre-NMS to 2000 because the dense
+    O(N²) NMS can't afford 12000; this preset routes through the exact
+    chunked NMS (ops/nms.py ``algorithm="chunked"``, auto above 4096 boxes)
+    so the un-trimmed budgets are runnable for A/B parity sweeps. See
+    BASELINE.md for the measured AP delta between the two.
+    """
+    return _rep(
+        fpn_mask(),
+        proposals=dict(n_train_pre_nms=12000, n_train_post_nms=2000,
+                       n_test_pre_nms=6000, n_test_post_nms=300),
     )
 
 
@@ -216,12 +268,16 @@ def tiny_test() -> Config:
         sampler=dict(n_sample=32),
         anchor_targets=dict(n_sample=64),
         train=dict(batch_size=2, image_size=(128, 160), max_gt=8,
-                   gt_mask_size=56),
+                   gt_mask_size=56,
+                   # smoke runs use tiny datasets where epoch-aware decay
+                   # would collapse the LR within steps; pin a long period
+                   lr_decay_every_iters=10_000),
     )
 
 
 PRESETS = {
     "fpn_mask": fpn_mask,
+    "parity": parity,
     "fpn_keypoint": fpn_keypoint,
     "light_head": light_head,
     "c4_res5": c4_res5,

@@ -147,7 +147,11 @@ class COCODetectionLoader:
         ann_kind = "person_keypoints" if self.keypoints else "instances"
         ann_file = os.path.join(root, "annotations", f"{ann_kind}_{split}.json")
         self.index = COCOIndex(ann_file)
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._order_cache: tuple[int, np.ndarray] | None = None
+        self._waste_sum = 0.0
+        self._waste_n = 0
         if self.keypoints:
             # flip must also permute left/right joint rows, not just mirror x
             from maskrcnn_tpu.data.keypoints import (
@@ -200,12 +204,22 @@ class COCODetectionLoader:
             raise FileNotFoundError(path)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def get_example(self, i: int):
-        """One padded example. Returns the Batch fields minus batching."""
+    def get_example(self, i: int, rng: np.random.RandomState | None = None,
+                    image_size: tuple[int, int] | None = None):
+        """One padded example. Returns the Batch fields minus batching.
+
+        ``rng`` drives the augmentation draws; when None the loader's
+        stateful rng is used (fine for one-off calls — the step-pure
+        ``iter_from`` path always passes a derived rng). ``image_size``
+        overrides the padded bucket (multi-bucket pipeline).
+        """
         import cv2
 
+        if rng is None:
+            rng = self.rng
+
         cfg = self.cfg
-        bh, bw = cfg.train.image_size
+        bh, bw = image_size or cfg.train.image_size
         g = cfg.train.max_gt
         s = cfg.train.gt_mask_size
 
@@ -225,8 +239,10 @@ class COCODetectionLoader:
         scale = min(scale, bh / h0, bw / w0)
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        self._waste_sum += 1.0 - (nh * nw) / float(bh * bw)
+        self._waste_n += 1
 
-        do_flip = self.flip and self.rng.rand() < 0.5
+        do_flip = self.flip and rng.rand() < 0.5
         if do_flip:
             img = img[:, ::-1]
 
@@ -297,8 +313,11 @@ class COCODetectionLoader:
             gt_keypoints=kps,
         )
 
-    def batch(self, indices) -> Batch:
-        ex = [self.get_example(i % len(self.ids)) for i in indices]
+    def batch(self, indices, rngs=None, image_size=None) -> Batch:
+        if rngs is None:
+            rngs = [None] * len(indices)
+        ex = [self.get_example(i % len(self.ids), rng, image_size)
+              for i, rng in zip(indices, rngs)]
         stack = lambda k: np.stack([e[k] for e in ex])
         return Batch(
             images=stack("image"),
@@ -311,10 +330,88 @@ class COCODetectionLoader:
             gt_keypoints=stack("gt_keypoints") if self.keypoints else None,
         )
 
-    def __iter__(self):
-        b = self.cfg.train.batch_size
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        if self._order_cache is not None and self._order_cache[0] == epoch:
+            return self._order_cache[1]
         order = np.arange(len(self.ids))
+        np.random.RandomState(
+            (self.seed * 100_003 + epoch) % (2**31 - 1)
+        ).shuffle(order)
+        self._order_cache = (epoch, order)
+        return order
+
+    def _example_rng(self, epoch: int, idx: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.seed * 100_003 + epoch * 131_071 + idx) % (2**31 - 1)
+        )
+
+    def bucket_of(self, i: int) -> int:
+        """Bucket index minimizing padded waste for image i — computed from
+        the annotation index dims only (no image load), so bucket grouping
+        can be replayed cheaply when seeking the stream."""
+        buckets = self.cfg.train.image_buckets
+        info = self.index.images[self.ids[i]]
+        h0, w0 = info["height"], info["width"]
+        best, best_waste = 0, 2.0
+        for k, (bh, bw) in enumerate(buckets):
+            scale = min(self.min_size / min(h0, w0),
+                        self.max_size / max(h0, w0), bh / h0, bw / w0)
+            waste = 1.0 - (h0 * scale) * (w0 * scale) / float(bh * bw)
+            if waste < best_waste - 1e-9:
+                best, best_waste = k, waste
+        return best
+
+    def padding_waste(self) -> float:
+        """Mean padded-area fraction over all examples loaded so far."""
+        return self._waste_sum / max(1, self._waste_n)
+
+    def iter_from(self, step: int = 0):
+        """Infinite batch stream as a PURE function of the global step.
+
+        Per-epoch shuffles and per-example augmentation draws derive from
+        (seed, epoch, image-index) rather than iterator history, so resuming
+        at step k replays exactly the batches an uninterrupted run would see
+        — the data half of exact restart (the reference loses even
+        LR-schedule position on restart, SURVEY §5 "failure detection").
+
+        With ``cfg.train.image_buckets`` set, each image goes to its
+        least-waste bucket and batches are emitted per bucket as they fill;
+        seeking replays the (image-dims-only) grouping without decoding
+        any image.
+        """
+        buckets = self.cfg.train.image_buckets
+        if buckets and len(buckets) > 1:
+            yield from self._iter_bucketed(step)
+            return
+        b = self.cfg.train.batch_size
+        per_epoch = max(1, len(self.ids) // b)
         while True:
-            self.rng.shuffle(order)
-            for i in range(0, len(order) - b + 1, b):
-                yield self.batch(order[i : i + b])
+            epoch, j = divmod(step, per_epoch)
+            order = self._epoch_order(epoch)
+            idxs = order.take(np.arange(j * b, (j + 1) * b), mode="wrap")
+            rngs = [self._example_rng(epoch, int(i)) for i in idxs]
+            yield self.batch(idxs, rngs)
+            step += 1
+
+    def _iter_bucketed(self, step: int):
+        b = self.cfg.train.batch_size
+        buckets = list(self.cfg.train.image_buckets)
+        queues: list[list[tuple[int, int]]] = [[] for _ in buckets]
+        produced = 0
+        epoch = 0
+        while True:
+            order = self._epoch_order(epoch)
+            for i in order:
+                bi = self.bucket_of(int(i))
+                queues[bi].append((epoch, int(i)))
+                if len(queues[bi]) == b:
+                    group, queues[bi] = queues[bi], []
+                    if produced >= step:
+                        idxs = [g[1] for g in group]
+                        rngs = [self._example_rng(e, gi) for e, gi in group]
+                        yield self.batch(idxs, rngs, image_size=buckets[bi])
+                    produced += 1
+            epoch += 1
+
+    def __iter__(self):
+        return self.iter_from(0)

@@ -37,13 +37,18 @@ class DepthKeypointDataset:
         self.augment = augment
         self.flip = flip
         self.kp_flip_perm = flip_permutation(DEPTH_KEYPOINT_NAMES)
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._order_cache = None
 
     def __len__(self):
         return len(self.files)
 
-    def get_example(self, i: int):
+    def get_example(self, i: int, rng: np.random.RandomState | None = None):
         import cv2
+
+        if rng is None:
+            rng = self.rng
 
         cfg = self.cfg
         data = np.load(self.files[i])
@@ -53,10 +58,10 @@ class DepthKeypointDataset:
         img = np.clip((depth - 1000.0) / 3000.0, 0.0, 1.0)
         if self.augment:
             # DepthTransformer: ±15 (8-bit scale) brightness jitter
-            img = np.clip(img + self.rng.uniform(-15, 15) / 255.0, 0.0, 1.0)
+            img = np.clip(img + rng.uniform(-15, 15) / 255.0, 0.0, 1.0)
 
         h0, w0 = depth.shape
-        do_flip = self.augment and self.flip and self.rng.rand() < 0.5
+        do_flip = self.augment and self.flip and rng.rand() < 0.5
         if do_flip:
             img = img[:, ::-1]
             if len(kp_xy) == len(self.kp_flip_perm):
@@ -112,8 +117,11 @@ class DepthKeypointDataset:
             gt_keypoints=all_kps,
         )
 
-    def batch(self, indices) -> Batch:
-        ex = [self.get_example(i % len(self)) for i in indices]
+    def batch(self, indices, rngs=None) -> Batch:
+        if rngs is None:
+            rngs = [None] * len(indices)
+        ex = [self.get_example(i % len(self), rng)
+              for i, rng in zip(indices, rngs)]
         stack = lambda k: np.stack([e[k] for e in ex])
         return Batch(
             images=stack("image"),
@@ -126,10 +134,33 @@ class DepthKeypointDataset:
             gt_keypoints=stack("gt_keypoints"),
         )
 
-    def __iter__(self):
-        b = self.cfg.train.batch_size
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        if self._order_cache is not None and self._order_cache[0] == epoch:
+            return self._order_cache[1]
         order = np.arange(len(self))
+        np.random.RandomState(
+            (self.seed * 100_003 + epoch) % (2**31 - 1)
+        ).shuffle(order)
+        self._order_cache = (epoch, order)
+        return order
+
+    def iter_from(self, step: int = 0):
+        """Step-pure batch stream (see COCODetectionLoader.iter_from)."""
+        b = self.cfg.train.batch_size
+        per_epoch = max(1, len(self) // b)
         while True:
-            self.rng.shuffle(order)
-            for i in range(0, len(order) - b + 1, b):
-                yield self.batch(order[i : i + b])
+            epoch, j = divmod(step, per_epoch)
+            order = self._epoch_order(epoch)
+            idxs = order.take(np.arange(j * b, (j + 1) * b), mode="wrap")
+            rngs = [
+                np.random.RandomState(
+                    (self.seed * 100_003 + epoch * 131_071 + j * b + k)
+                    % (2**31 - 1)
+                )
+                for k in range(b)
+            ]
+            yield self.batch(idxs, rngs)
+            step += 1
+
+    def __iter__(self):
+        return self.iter_from(0)

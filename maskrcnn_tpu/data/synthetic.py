@@ -116,8 +116,13 @@ class SyntheticDetectionData:
             gt_keypoints=np.stack(kps) if self.is_keypoint else None,
         )
 
-    def __iter__(self):
-        i = 0
+    def iter_from(self, step: int = 0):
+        """Step-pure stream: batch(i) is a pure function of i, so resuming
+        at step k replays exactly what an uninterrupted run would see."""
+        i = step
         while True:
             yield self.batch(i)
             i += 1
+
+    def __iter__(self):
+        return self.iter_from(0)

@@ -52,12 +52,19 @@ def evaluate_dataset(
     label_names: list[str] | None = None,
 ) -> dict:
     """Runs the two-pass predict over ``n_batches`` and computes mask mAP."""
-    predict = make_predict_fn(cfg, model)
+    # multi-bucket input yields mixed static shapes: one predict per bucket
+    predict_cache = {}
+
+    def predict_for(hw):
+        if hw not in predict_cache:
+            predict_cache[hw] = make_predict_fn(cfg, model, image_size=hw)
+        return predict_cache[hw]
 
     pred_masks, pred_labels, pred_scores = [], [], []
     gt_masks_all, gt_labels_all = [], []
 
     for bi, batch in zip(range(n_batches), batches):
+        predict = predict_for(tuple(batch.images.shape[1:3]))
         det = predict(
             variables,
             jnp.asarray(batch.images),
@@ -115,11 +122,17 @@ def evaluate_keypoint_dataset(
     from maskrcnn_tpu.eval.keypoint_eval import eval_keypoints_oks_ap
     from maskrcnn_tpu.eval.postprocess import decode_keypoints
 
-    predict = make_predict_fn(cfg, model)
+    predict_cache = {}
+
+    def predict_for(hw):
+        if hw not in predict_cache:
+            predict_cache[hw] = make_predict_fn(cfg, model, image_size=hw)
+        return predict_cache[hw]
 
     pred_kps, pred_scores = [], []
     gt_kps, gt_areas = [], []
     for bi, batch in zip(range(n_batches), batches):
+        predict = predict_for(tuple(batch.images.shape[1:3]))
         det = predict(
             variables,
             jnp.asarray(batch.images),

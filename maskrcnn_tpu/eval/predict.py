@@ -9,8 +9,16 @@ pools the REFINED boxes for the mask branch (:215-229).
 TPU-native differences:
 - everything incl. the per-class NMS runs on device with static shapes:
   detections live in ``max_detections`` padded slots,
-- per-class NMS uses the class-offset trick over the top-K candidates
-  instead of a Python loop over classes,
+- per-class NMS is EXACT ``_suppress`` semantics: every (ROI, class) pair
+  above ``score_thresh`` enters its class's NMS (no candidate cap — the
+  reference's Python loop over classes becomes one ``vmap`` over the class
+  axis; per class at most R=``n_test_post_nms`` candidates exist, so the
+  IoU work is n_fg · R² — smaller than one joint pool would need),
+- a global top-``max_detections`` by score is taken at the end (standard
+  COCO convention; the reference concatenates all classes uncapped — set
+  ``eval.max_detections`` higher for uncapped-equivalent output). Per class
+  only the top-``max_detections`` kept boxes can reach the global top-k, so
+  the per-class slot count ``min(R, max_detections)`` loses nothing,
 - the reference's off-by-one quirk of skipping the LAST fg class during
   mask prediction (:287-291, a workaround kept in its code) is fixed here —
   every fg class is eligible (SURVEY §7 hard-part 7 policy: fix bugs).
@@ -30,10 +38,10 @@ from maskrcnn_tpu.config import Config
 from maskrcnn_tpu.models import MaskRCNN, anchors_for, generate_proposals
 from maskrcnn_tpu.models.maskrcnn import backbone_geometry, pyramid_shapes
 from maskrcnn_tpu.ops import (
-    batched_nms_padded,
     clip_boxes,
     loc2bbox,
     map_rois_to_fpn_levels,
+    nms_padded,
 )
 
 
@@ -58,8 +66,10 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
     mean = jnp.asarray(cfg.sampler.loc_normalize_mean, jnp.float32)
     std = jnp.asarray(cfg.sampler.loc_normalize_std, jnp.float32)
     n_fg = cfg.model.n_fg_class
-    # candidate pool entering the class-aware NMS (see module docstring)
-    n_cand = min(1000, cfg.proposals.n_test_post_nms * n_fg)
+    r_test = cfg.proposals.n_test_post_nms
+    # per-class kept slots: only the top-d kept of a class can reach the
+    # global top-d (kept boxes come out score-sorted), so min(R, d) is exact.
+    n_keep_pc = min(r_test, d)
 
     @jax.jit
     def predict(variables, images, img_hw, scale):
@@ -96,40 +106,53 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
                         jnp.broadcast_to(roi_row, loc_row.shape), loc_row
                     )
                 )(rois_i, locs_pc)  # (R, C+1, 4)
-                cand_boxes = boxes_pc[:, 1:, :].reshape(r * n_fg, 4)
+                cls_boxes = boxes_pc[:, 1:, :].transpose(1, 0, 2)  # (n_fg,R,4)
             else:
                 locs_u = locs_i * std + mean
                 boxes = loc2bbox(rois_i, locs_u)  # (R, 4)
-                cand_boxes = jnp.broadcast_to(
-                    boxes[:, None, :], (r, n_fg, 4)
-                ).reshape(r * n_fg, 4)
-            cand_boxes = clip_boxes(cand_boxes, (hw_i[0], hw_i[1]))
-            cand_scores = probs_i[:, 1:].reshape(r * n_fg)
-            cand_labels = jnp.broadcast_to(
-                jnp.arange(n_fg, dtype=jnp.int32)[None, :], (r, n_fg)
-            ).reshape(r * n_fg)
-            cand_valid = (
-                jnp.repeat(rvalid_i, n_fg)
-                & (cand_scores > cfg.eval.score_thresh)
+                cls_boxes = jnp.broadcast_to(boxes[None], (n_fg, r, 4))
+            cls_boxes = clip_boxes(
+                cls_boxes.reshape(n_fg * r, 4), (hw_i[0], hw_i[1])
+            ).reshape(n_fg, r, 4)
+            cls_scores = probs_i[:, 1:].T  # (n_fg, R)
+            cls_valid = (
+                rvalid_i[None, :] & (cls_scores > cfg.eval.score_thresh)
             )
 
-            # top-K pool, then one class-aware NMS (reference _suppress).
-            masked = jnp.where(cand_valid, cand_scores, -jnp.inf)
-            top_scores, top_idx = jax.lax.top_k(masked, n_cand)
-            keep_idx, keep_valid = batched_nms_padded(
-                cand_boxes[top_idx],
-                top_scores,
-                cand_labels[top_idx],
-                cfg.eval.nms_thresh,
-                d,
-                jnp.isfinite(top_scores),
-                coord_bound=float(max(h, w) * 4),
+            # exact per-class greedy NMS: one vmap over the class axis
+            # (reference _suppress loops classes on host, maskrcnn.py:278-312)
+            keep_idx, keep_valid = jax.vmap(
+                lambda bx, sc, va: nms_padded(
+                    bx, sc, cfg.eval.nms_thresh, n_keep_pc, va
+                )
+            )(cls_boxes, cls_scores, cls_valid)  # (n_fg, K) each
+
+            kept_boxes = jnp.take_along_axis(
+                cls_boxes, keep_idx[..., None], axis=1
+            ).reshape(n_fg * n_keep_pc, 4)
+            kept_scores = jnp.take_along_axis(cls_scores, keep_idx, axis=1)
+            kept_scores = jnp.where(keep_valid, kept_scores, -jnp.inf).reshape(
+                n_fg * n_keep_pc
             )
-            sel = top_idx[keep_idx]
-            det_boxes = cand_boxes[sel]
-            det_scores = jnp.where(keep_valid, cand_scores[sel], 0.0)
-            det_labels = jnp.where(keep_valid, cand_labels[sel], 0)
-            return det_boxes, det_scores, det_labels, keep_valid
+            kept_labels = jnp.broadcast_to(
+                jnp.arange(n_fg, dtype=jnp.int32)[:, None], (n_fg, n_keep_pc)
+            ).reshape(n_fg * n_keep_pc)
+
+            # global top-d by score across all classes (pad when the pool
+            # is smaller than d so top_k always has enough slots)
+            if n_fg * n_keep_pc < d:
+                pad = d - n_fg * n_keep_pc
+                kept_scores = jnp.pad(
+                    kept_scores, (0, pad), constant_values=-jnp.inf
+                )
+                kept_boxes = jnp.pad(kept_boxes, ((0, pad), (0, 0)))
+                kept_labels = jnp.pad(kept_labels, (0, pad))
+            top_scores, top_i = jax.lax.top_k(kept_scores, d)
+            det_valid = jnp.isfinite(top_scores)
+            det_boxes = kept_boxes[top_i]
+            det_scores = jnp.where(det_valid, top_scores, 0.0)
+            det_labels = jnp.where(det_valid, kept_labels[top_i], 0)
+            return det_boxes, det_scores, det_labels, det_valid
 
         det = jax.vmap(decode_image)(
             props.rois,

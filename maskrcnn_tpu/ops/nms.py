@@ -21,6 +21,16 @@ by input order (stable argsort), documented per SURVEY §7 hard-part 1.
 Cost: O(N²) IoU matrix + depth × O(N²) matvec. Intended for N ≤ a few
 thousand (the pre-NMS top-k). ``algorithm="sequential"`` keeps the naive
 N-step ``fori_loop`` as a cross-check oracle for tests.
+
+For the reference's FULL pre-NMS budget (12000 train candidates —
+utils/proposal_creator.py:54-60) a materialized 12000² IoU matrix is
+~576 MB; ``algorithm="chunked"`` (default above 4096 boxes via "auto")
+streams score-sorted chunks instead: each chunk is first suppressed against
+the already-kept buffer (chunk × n_out IoU), then resolved internally by the
+same Jacobi fixpoint (chunk × chunk). This is still EXACT greedy NMS — a box
+is suppressed only by higher-scored kept boxes, and only the first ``n_out``
+kept boxes matter for the output, so the kept buffer never needs to exceed
+``n_out`` slots. Peak memory drops to O(chunk² + chunk·n_out).
 """
 
 from __future__ import annotations
@@ -39,7 +49,8 @@ def nms_padded(
     iou_thresh: float,
     n_out: int,
     valid: jnp.ndarray | None = None,
-    algorithm: str = "fixpoint",
+    algorithm: str = "auto",
+    chunk_size: int = 2048,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over N padded boxes → ``n_out`` fixed slots.
 
@@ -59,11 +70,18 @@ def nms_padded(
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
+    if algorithm == "auto":
+        algorithm = "chunked" if n > 4096 else "fixpoint"
 
     masked_scores = jnp.where(valid, scores, _NEG_INF)
     order = jnp.argsort(-masked_scores, stable=True)
     boxes_s = boxes[order]
     valid_s = valid[order]
+
+    if algorithm == "chunked":
+        return _nms_chunked(
+            boxes_s, valid_s, order, iou_thresh, n_out, chunk_size
+        )
 
     iou = box_iou(boxes_s, boxes_s)
     pos = jnp.arange(n)
@@ -103,6 +121,96 @@ def nms_padded(
     )
     out_valid = jnp.zeros((n_out,), bool).at[slot].set(in_range, mode="drop")
     indices = jnp.where(out_valid, indices, 0)
+    return indices, out_valid
+
+
+def _greedy_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
+                     iou_thresh: float) -> jnp.ndarray:
+    """Within-block exact greedy keep mask (boxes already score-sorted)."""
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    pos = jnp.arange(n)
+    sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(
+        jnp.float32
+    )
+
+    def cond(state):
+        keep, prev, it = state
+        return (it < n) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        hit = keep.astype(jnp.float32) @ sup
+        new = valid & (hit < 0.5)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, jnp.int32(0)))
+    return keep
+
+
+def _nms_chunked(
+    boxes_s: jnp.ndarray,
+    valid_s: jnp.ndarray,
+    order: jnp.ndarray,
+    iou_thresh: float,
+    n_out: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS over score-sorted boxes, streamed in chunks.
+
+    Correctness argument (why an ``n_out``-slot kept buffer suffices): a box
+    can only be suppressed by an EARLIER kept box. While fewer than ``n_out``
+    boxes have been kept, every kept box is in the buffer, so cross-chunk
+    suppression is exact. Once ``n_out`` boxes are kept, all output slots are
+    already determined — later keep/suppress mistakes cannot leak into the
+    output (their ranks land past ``n_out`` and are dropped).
+    """
+    n = boxes_s.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+    cboxes = boxes_s.reshape(n_chunks, chunk, 4)
+    cvalid = valid_s.reshape(n_chunks, chunk)
+    cbase = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    pos = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(carry, xs):
+        kept_boxes, kept_valid, kept_src, count = carry
+        cb, cv, base = xs
+        # suppress by the already-kept buffer (earlier chunks)
+        iou_k = box_iou(cb, kept_boxes)  # (chunk, n_out)
+        hit = jnp.any((iou_k > iou_thresh) & kept_valid[None, :], axis=1)
+        alive = cv & ~hit
+        # resolve suppression within the chunk
+        keep = _greedy_fixpoint(cb, alive, iou_thresh)
+        # append kept boxes (in score order) to the buffer
+        rank = count + jnp.cumsum(keep) - 1
+        in_range = keep & (rank < n_out)
+        slot = jnp.where(in_range, rank, n_out)
+        kept_boxes = kept_boxes.at[slot].set(cb, mode="drop")
+        kept_valid = kept_valid.at[slot].set(in_range, mode="drop")
+        kept_src = kept_src.at[slot].set(base + pos, mode="drop")
+        count = count + keep.sum(dtype=jnp.int32)
+        return (kept_boxes, kept_valid, kept_src, count), None
+
+    # buffer carries one overflow slot (index n_out) that absorbs the writes
+    # of not-kept / past-budget entries; it stays kept_valid=False so its
+    # (garbage) box never suppresses, and it is sliced off at the end.
+    init = (
+        jnp.zeros((n_out + 1, 4), boxes_s.dtype),
+        jnp.zeros((n_out + 1,), bool),
+        jnp.zeros((n_out + 1,), jnp.int32),
+        jnp.int32(0),
+    )
+    (kept_boxes, kept_valid, kept_src, _), _ = jax.lax.scan(
+        body, init, (cboxes, cvalid, cbase)
+    )
+    out_valid = kept_valid[:n_out]
+    indices = jnp.where(out_valid, order[kept_src[:n_out]], 0).astype(
+        jnp.int32
+    )
     return indices, out_valid
 
 

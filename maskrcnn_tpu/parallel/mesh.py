@@ -69,7 +69,8 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data"):
+def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data",
+                             image_size: tuple[int, int] | None = None):
     """The single-chip train step, jitted with DP shardings over ``mesh``.
 
     Returns ``(state, batch) -> (state, metrics)`` where ``state`` must be
@@ -79,7 +80,7 @@ def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data"):
     """
     from maskrcnn_tpu.train.step import make_train_step
 
-    step = make_train_step(cfg, model)
+    step = make_train_step(cfg, model, image_size)
     repl = NamedSharding(mesh, P())
 
     def sharded_step(state, batch):

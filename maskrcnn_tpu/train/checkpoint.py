@@ -23,6 +23,8 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None):
     ckpt_dir = os.path.abspath(ckpt_dir)
     step = int(state.step) if step is None else step
     path = os.path.join(ckpt_dir, f"step_{step:08d}")
+    if os.path.isdir(path):  # idempotent: this step is already on disk
+        return path
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()

@@ -32,8 +32,10 @@ class TrainState(flax.struct.PyTreeNode):
 def lr_schedule(cfg: Config):
     base = cfg.train.lr
 
+    period = cfg.train.lr_decay_period
+
     def schedule(step):
-        n_decays = step // cfg.train.lr_decay_every_iters
+        n_decays = step // period
         return base * (cfg.train.lr_decay_factor ** n_decays)
 
     return schedule

@@ -57,16 +57,19 @@ def _flatten_rois(sample_rois, sample_levels):
     return rois, levels, batch_idx
 
 
-def make_train_step(cfg: Config, model: MaskRCNN):
+def make_train_step(cfg: Config, model: MaskRCNN,
+                    image_size: tuple[int, int] | None = None):
     """Build the jitted train step for a config. Anchors are trace-time
-    constants derived from the static image bucket.
+    constants derived from the static image bucket; with multi-bucket
+    input (``cfg.train.image_buckets``) build one step per bucket by
+    passing ``image_size``.
 
     NOTE: the returned step donates its ``state`` argument (in-place param
     update, halves HBM traffic). Always rebind: ``state, metrics =
     step(state, batch)`` — reusing a donated state crashes with an opaque
     TPU InvalidArgument error."""
     feat_strides, _ = backbone_geometry(cfg)
-    feat_shapes = pyramid_shapes(cfg, cfg.train.image_size)
+    feat_shapes = pyramid_shapes(cfg, image_size or cfg.train.image_size)
     anchors = jnp.asarray(anchors_for(cfg, feat_shapes, feat_strides))
     n_levels = len(feat_shapes)
     is_keypoint = cfg.model.head == "fpn_keypoint"

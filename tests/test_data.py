@@ -173,6 +173,31 @@ class TestCOCOLoader:
         assert batch.gt_boxes.shape == (2, cfg.train.max_gt, 4)
         assert batch.gt_masks is not None
 
+    def test_iter_from_is_step_pure(self, mini_coco):
+        """iter_from(k) must yield exactly what iter_from(0) yields at step
+        k — shuffles and augmentation draws are functions of the step, not
+        iterator history (the data half of exact --resume)."""
+        cfg = cfg_lib.tiny_test()
+        a = COCODetectionLoader(mini_coco, "val", cfg, flip=True, seed=5)
+        b = COCODetectionLoader(mini_coco, "val", cfg, flip=True, seed=5)
+        full = [next(it) for it in [a.iter_from(0)] * 1 for _ in range(6)]
+        seek = b.iter_from(3)
+        for k in range(3, 6):
+            got = next(seek)
+            for x, y in zip(full[k], got):
+                if x is None:
+                    assert y is None
+                else:
+                    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_iter_from_different_seed_differs(self, mini_coco):
+        cfg = cfg_lib.tiny_test()
+        a = COCODetectionLoader(mini_coco, "val", cfg, flip=True, seed=5)
+        b = COCODetectionLoader(mini_coco, "val", cfg, flip=True, seed=6)
+        xa = next(a.iter_from(0)).images
+        xb = next(b.iter_from(0)).images
+        assert not np.array_equal(xa, xb)
+
     def test_flip_consistency(self, mini_coco):
         cfg = cfg_lib.tiny_test()
         loader = COCODetectionLoader(mini_coco, "val", cfg, flip=True, seed=3)
@@ -182,6 +207,88 @@ class TestCOCOLoader:
             y0, x0, y1, x1 = ex["gt_boxes"][0]
             assert 0 <= x0 < x1 <= 160
             assert 0 <= y0 < y1 <= 128
+
+
+@pytest.fixture
+def mixed_aspect_coco(tmp_path):
+    """Real-schema COCO dir with both landscape and portrait images."""
+    import cv2
+
+    root = tmp_path / "coco_mixed"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val").mkdir()
+    images, annotations = [], []
+    sizes = [(64, 96), (96, 64), (64, 96), (96, 64), (60, 90), (90, 60)]
+    for i, (h0, w0) in enumerate(sizes):
+        name = f"{i:06d}.jpg"
+        cv2.imwrite(str(root / "val" / name),
+                    np.full((h0, w0, 3), 40 * (i % 5 + 1), np.uint8))
+        images.append({"id": 1 + i, "file_name": name,
+                       "height": h0, "width": w0})
+        annotations.append({
+            "id": 100 + i, "image_id": 1 + i, "category_id": 7,
+            "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0,
+            "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]],
+        })
+    with open(root / "annotations" / "instances_val.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 7, "name": "cat"}]}, f)
+    return str(root)
+
+
+class TestMultiBucket:
+    """SURVEY §5 'bucketed padded resolutions' / VERDICT round-1 #10."""
+
+    def _cfg(self):
+        cfg = cfg_lib.tiny_test()
+        return cfg_lib._rep(
+            cfg, train=dict(image_buckets=((128, 160), (160, 128))))
+
+    def test_bucket_assignment_by_aspect(self, mixed_aspect_coco):
+        loader = COCODetectionLoader(
+            mixed_aspect_coco, "val", self._cfg(), flip=False)
+        for i in range(len(loader)):
+            info = loader.index.images[loader.ids[i]]
+            want = 0 if info["width"] >= info["height"] else 1
+            assert loader.bucket_of(i) == want, (i, info)
+
+    def test_batches_are_shape_homogeneous(self, mixed_aspect_coco):
+        loader = COCODetectionLoader(
+            mixed_aspect_coco, "val", self._cfg(), flip=False)
+        shapes = set()
+        it = loader.iter_from(0)
+        for _ in range(4):
+            b = next(it)
+            shapes.add(b.images.shape[1:3])
+            # every example fills its bucket without cross-shape mixing
+            assert b.images.shape[1:3] in {(128, 160), (160, 128)}
+        assert len(shapes) == 2  # both buckets appear in the stream
+
+    def test_bucketed_iter_is_step_pure(self, mixed_aspect_coco):
+        cfg = self._cfg()
+        a = COCODetectionLoader(mixed_aspect_coco, "val", cfg, seed=5)
+        b = COCODetectionLoader(mixed_aspect_coco, "val", cfg, seed=5)
+        full = [next(it) for it in [a.iter_from(0)] for _ in range(6)]
+        seek = b.iter_from(4)
+        for k in range(4, 6):
+            got = next(seek)
+            for x, y in zip(full[k], got):
+                if x is None:
+                    assert y is None
+                else:
+                    np.testing.assert_array_equal(np.asarray(x),
+                                                  np.asarray(y))
+
+    def test_buckets_reduce_padding_waste(self, mixed_aspect_coco):
+        cfg1 = cfg_lib.tiny_test()  # single 128×160 bucket
+        cfg2 = self._cfg()
+        l1 = COCODetectionLoader(mixed_aspect_coco, "val", cfg1, flip=False)
+        l2 = COCODetectionLoader(mixed_aspect_coco, "val", cfg2, flip=False)
+        for it, loader in ((iter(l1), l1), (iter(l2), l2)):
+            for _ in range(3):
+                next(it)
+        assert l2.padding_waste() < l1.padding_waste() - 0.05, (
+            l1.padding_waste(), l2.padding_waste())
 
 
 class TestNativeParity:

@@ -225,6 +225,39 @@ class TestNMSFixpoint:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("thresh", [0.3, 0.7])
+    def test_chunked_equals_sequential(self, seed, thresh):
+        """Chunked streaming NMS (the 12000-proposal parity path) is exact:
+        small chunks + a tight n_out buffer reproduce the greedy oracle,
+        including cross-chunk suppression and buffer-overflow ranks."""
+        r = np.random.RandomState(seed + 100)
+        n = 500  # not a multiple of chunk → exercises tail padding
+        boxes = random_boxes(r, n, size=60.0)
+        scores = r.uniform(0, 1, n).astype(np.float32)
+        valid = r.uniform(0, 1, n) > 0.1
+        for n_out in (40, 500):
+            i1, v1 = ops.nms_padded(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh, n_out,
+                jnp.asarray(valid), algorithm="chunked", chunk_size=128)
+            i2, v2 = ops.nms_padded(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh, n_out,
+                jnp.asarray(valid), algorithm="sequential")
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_auto_dispatches_chunked_above_4096(self):
+        r = np.random.RandomState(7)
+        n = 5000
+        boxes = random_boxes(r, n, size=200.0)
+        scores = r.uniform(0, 1, n).astype(np.float32)
+        ia, va = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.7, 300)  # auto → chunked
+        ifx, vfx = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                  0.7, 300, algorithm="fixpoint")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vfx))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ifx))
+
     def test_chain_case(self):
         # a>b>c suppression chain: b dies to a, c must survive (b is dead).
         boxes = np.array([
