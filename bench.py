@@ -121,8 +121,17 @@ def main():
                    choices=["auto", "region", "gather", "pallas"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (bigger batches)")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="micro-batch accumulation steps; default: 1 up to "
+                        "batch 8, then batch//8 (the single-chip batch-32 "
+                        "path at 800x1024 — full batches OOM in the conv "
+                        "backward, see BASELINE.md)")
     p.add_argument("--mode", default="train", choices=["train", "predict"],
                    help="train images/sec (default) or two-pass predict p50 latency")
+    p.add_argument("--momentum-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="SGD momentum buffer dtype (bfloat16 halves "
+                        "optimizer HBM traffic)")
     args = p.parse_args()
 
     import jax
@@ -132,10 +141,15 @@ def main():
     from maskrcnn_tpu.data import SyntheticDetectionData
     from maskrcnn_tpu.train import create_train_state, init_model, make_train_step
 
+    grad_accum = args.grad_accum
+    if grad_accum is None:
+        grad_accum = max(1, args.batch // 8) if args.batch > 8 else 1
     cfg = cfg_lib.PRESETS[args.preset]()
     cfg = cfg_lib._rep(
         cfg,
-        train=dict(batch_size=args.batch, image_size=(args.height, args.width)),
+        train=dict(batch_size=args.batch, image_size=(args.height, args.width),
+                   grad_accum_steps=grad_accum,
+                   momentum_dtype=args.momentum_dtype),
         model=dict(dtype=args.dtype, roi_align=args.roi_align,
                    remat=args.remat),
     )
@@ -179,6 +193,11 @@ def main():
     step = make_train_step(cfg, model)
 
     flops = _static_flops(step, state, batch)
+    if flops is not None and grad_accum > 1:
+        # XLA's cost analysis counts a lax.scan body ONCE (measured: the
+        # accum-4 step reports the same flops as accum-1); the micro-batch
+        # loop executes it grad_accum times.
+        flops *= grad_accum
 
     # compile + warmup (forced completion via host transfer)
     state, metrics = step(state, batch)

@@ -108,6 +108,9 @@ class TrainConfig:
     image_buckets: tuple[tuple[int, int], ...] | None = None
     lr: float = 1e-3
     momentum: float = 0.9
+    # dtype of the SGD momentum buffer; "bfloat16" halves optimizer-state
+    # HBM traffic (params stay f32). None → f32.
+    momentum_dtype: str | None = None
     weight_decay: float = 5e-4
     iterations: int = 200_000
     lr_decay_factor: float = 0.1
@@ -132,6 +135,12 @@ class TrainConfig:
             int(round(self.epoch_size * self.lr_decay_every_epochs
                       / self.batch_size)),
         )
+    # gradient accumulation: split the batch into this many micro-batches
+    # inside one optimizer step (lax.scan). With frozen BN the update is
+    # mathematically identical to the full batch; peak activation memory
+    # drops by the factor — the single-chip path for batch ≥ 32 at 800×1024
+    # (the alternative is DP over more chips).
+    grad_accum_steps: int = 1
     max_gt: int = 64  # padded GT slots per image
     gt_mask_size: int = 112  # GT masks stored at this res, ROIAligned to targets
     seed: int = 0

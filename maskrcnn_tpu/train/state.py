@@ -46,7 +46,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # update — same composition order here.
     return optax.chain(
         optax.add_decayed_weights(cfg.train.weight_decay),
-        optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.train.momentum),
+        optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.train.momentum,
+                  accumulator_dtype=cfg.train.momentum_dtype),
     )
 
 

@@ -202,12 +202,43 @@ def make_train_step(cfg: Config, model: MaskRCNN,
         )
         return total, (bd, mut2["batch_stats"])
 
+    accum = cfg.train.grad_accum_steps
+    if cfg.train.batch_size % max(accum, 1) != 0:
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} not divisible by "
+            f"grad_accum_steps {accum}"
+        )
+
     def train_step(state: TrainState, batch: Batch):
         key, new_key = jax.random.split(state.key)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (bd, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, key
-        )
+        if accum <= 1:
+            (_, (bd, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, key
+            )
+        else:
+            # micro-batch scan: same gradients as the full batch (BN is
+            # frozen by default; running stats take the last micro-batch),
+            # 1/accum the activation memory.
+            micro = batch.images.shape[0] // accum
+            batch_r = jax.tree.map(
+                lambda x: x.reshape(accum, micro, *x.shape[1:]), batch
+            )
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                g_acc, bs = carry
+                mb, k = xs
+                (_, (bd_i, new_bs_i)), g = grad_fn(state.params, bs, mb, k)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, new_bs_i), bd_i
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_bs), bds = jax.lax.scan(
+                body, (zeros, state.batch_stats), (batch_r, keys)
+            )
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            bd = jax.tree.map(lambda x: jnp.mean(x, axis=0), bds)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: p + u, state.params, updates

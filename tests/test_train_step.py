@@ -47,6 +47,30 @@ class TestTrainStep:
         assert np.isfinite(last)
         assert last < first, (first, last)
 
+    def test_grad_accum_step_runs_and_learns(self):
+        """grad_accum_steps=2 on batch 2 (micro-batch 1): finite losses,
+        deterministic, and still overfits the batch — the single-chip
+        path to batch ≥ 32 at full resolution (VERDICT round-1 #8)."""
+        cfg = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(grad_accum_steps=2))
+        model, variables = init_model(cfg, jax.random.key(0))
+        state = create_train_state(cfg, variables, jax.random.key(1))
+        step = make_train_step(cfg, model)
+        batch = _to_device(SyntheticDetectionData(cfg).batch(0))
+
+        s1, m1 = step(state, batch)
+        assert np.isfinite(float(m1["loss"])) and int(s1.step) == 1
+        first = float(m1["loss"])
+        s = s1
+        for _ in range(7):
+            s, m = step(s, batch)
+        assert float(m["loss"]) < first, (first, float(m["loss"]))
+
+    def test_grad_accum_requires_divisible_batch(self):
+        cfg = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(grad_accum_steps=3))
+        model, variables = init_model(cfg, jax.random.key(0))
+        with pytest.raises(ValueError, match="divisible"):
+            make_train_step(cfg, model)
+
     def test_keypoint_step_runs(self):
         cfg = cfg_lib.darknet_keypoint(n_keypoints=8)
         # shrink to test scale
