@@ -1,26 +1,35 @@
-"""Pallas TPU ROIAlign — region DMA + MXU interpolation, custom VJP.
+"""Pallas TPU ROIAlign — double-buffered region DMA + MXU interpolation.
 
 The TPU-native replacement for the reference's ROIAlign CUDA kernel
 (git submodule ``chainer_maskrcnn/functions/roi_align``, SURVEY §2b N1),
 built on the region-matrix formulation shared with the XLA path
 (:func:`maskrcnn_tpu.ops.roi_align.region_params`):
 
-    out[r] = mean_pool( By[r] @ F[region(r)] @ Bx[r]ᵀ )
+    out[r] = By[r] @ F[region(r)] @ Bx[r]ᵀ      (sub-sample mean folded in)
 
-Kernel structure (one grid step per ROI):
-- the flattened feature pyramid stays in HBM (``memory_space=ANY``),
-- per-ROI flat row offsets arrive via scalar prefetch (SMEM), so the kernel
-  can issue its region DMAs immediately,
-- ``t`` async copies pull the (t, t, C) region into a VMEM scratch
-  (t=20, C=256 → 410 KB — double-buffer-able later),
-- the two interpolation matmuls run on the MXU; sub-sample averaging on the
-  VPU; one (oh, ow, C) block written per ROI.
+Kernel design (v2 — the round-1 version lost to XLA's gather; this one is
+built around the three causes):
+
+1. **No channel slabs.** v5e rejects HBM→VMEM DMA destinations wider than
+   128 lanes, and the round-1 kernel worked around it by slicing the flat
+   pyramid into 128-channel slabs at the XLA level — each slice a full
+   273 MB copy. Here the (S, C) pyramid is viewed as (S·n, 128) with
+   n = C/128 — a free row-major reshape — so one contiguous DMA of
+   ``n·t`` reshaped rows delivers a full region row with every channel,
+   and the lane extent stays 128. The x-interpolation matrix becomes
+   ``kron(Bx, I_n)`` so the channel interleave folds into the same matmul.
+2. **Multi-ROI grid blocks.** ``R_BLK`` ROIs per grid step amortize
+   control overhead and give the MXU larger back-to-back work.
+3. **Double buffering.** TPU Pallas grid steps run sequentially on the
+   core, so step i issues block i+1's region DMAs into the alternate
+   scratch buffer before computing on block i — DMA latency hides behind
+   the interpolation matmuls.
 
 Backward: d_flat = scatter-add over the SAME region rows of
 ``Byᵀ @ g @ Bx`` — expressed in XLA (scatter-add races across overlapping
-ROIs are XLA's problem to serialize, not worth a semaphore protocol here).
-Gradients w.r.t. box coordinates are not defined (matches the reference
-kernel, which is differentiable w.r.t. features only).
+ROIs are XLA's problem to serialize). Gradients w.r.t. box coordinates are
+not defined (matches the reference kernel: differentiable w.r.t. features
+only).
 """
 
 from __future__ import annotations
@@ -35,103 +44,132 @@ from jax.experimental.pallas import tpu as pltpu
 
 from maskrcnn_tpu.ops.roi_align import region_params
 
+R_BLK = 8  # ROIs per grid step
+_LANES = 128
 
-def _kernel(row_ids_ref, by_ref, bx_ref, flat_ref, out_ref, region, sems,
-            *, t: int, oh: int, ow: int, sr: int):
-    r = pl.program_id(0)
-    s_max = flat_ref.shape[0]
 
-    # Issue all region-row DMAs, then wait — the scalar prefetch makes the
-    # offsets available before the body runs.
-    for ty in range(t):
-        start = jnp.clip(row_ids_ref[r, ty], 0, s_max - t)
-        pltpu.make_async_copy(
-            flat_ref.at[pl.ds(start, t)],
-            region.at[ty],
-            sems.at[ty],
-        ).start()
-    for ty in range(t):
-        pltpu.make_async_copy(
-            flat_ref.at[pl.ds(0, t)],  # shape-only descriptor for wait
-            region.at[ty],
-            sems.at[ty],
-        ).wait()
+def _kernel(row_ids_ref, by_ref, bx2_ref, flat2_ref, out_ref, regions, sems,
+            *, t: int, oh: int, ow2: int, n_half: int, n_blocks: int,
+            s2_max: int):
+    i = pl.program_id(0)
+    rows = n_half * t  # reshaped rows per region row
 
-    by = by_ref[0]  # (oh, t) — sub-sample mean folded in (region_params)
-    bx = bx_ref[0]  # (ow, t)
+    def issue(block, slot):
+        for rr in range(R_BLK):
+            for ty in range(t):
+                # clip to the UNPADDED extent; reads past it land in the
+                # zero pad appended by _pallas_forward (alignment preserved)
+                start = row_ids_ref[block * R_BLK + rr, ty] * n_half
+                start = jnp.clip(start, 0, s2_max)
+                pltpu.make_async_copy(
+                    flat2_ref.at[pl.ds(start, rows)],
+                    regions.at[slot, rr, ty],
+                    sems.at[slot, rr, ty],
+                ).start()
 
-    reg = region[:].astype(jnp.float32)  # (t, t, C)
-    # 3-D dot_general: contracting reg's dim 0 — avoids a (t, t·C) reshape,
-    # which Mosaic would have to materialize as a cross-tile relayout
-    # (compile failure at C=256).
-    tmp = jax.lax.dot_general(
-        by, reg,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (oh, t, C)
-    out = jax.lax.dot_general(
-        tmp, bx,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (oh, C, ow)
-    out = jnp.transpose(out, (0, 2, 1))  # (oh, ow, C)
-    out_ref[0] = out.astype(out_ref.dtype)
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for rr in range(R_BLK):
+        for ty in range(t):
+            pltpu.make_async_copy(
+                flat2_ref.at[pl.ds(0, rows)],  # shape-only descriptor
+                regions.at[slot, rr, ty],
+                sems.at[slot, rr, ty],
+            ).wait()
+
+    for rr in range(R_BLK):
+        reg = regions[slot, rr].astype(jnp.float32)  # (t, n·t, 128)
+        by = by_ref[0, rr]  # (oh, t)
+        bx2 = bx2_ref[0, rr]  # (n·ow, n·t) = kron(Bx, I_n)
+        # contract region dim 0 (y rows) — 3-D dot_general avoids reshapes
+        tmp = jax.lax.dot_general(
+            by, reg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (oh, n·t, 128)
+        out = jax.lax.dot_general(
+            tmp, bx2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (oh, 128, n·ow)
+        out_ref[0, rr] = jnp.transpose(out, (0, 2, 1))  # (oh, n·ow, 128)
 
 
 @functools.partial(
     jax.jit, static_argnames=("out_size", "sampling_ratio", "t_span")
 )
 def _pallas_forward(flat, row_ids, by, bx, out_size, sampling_ratio, t_span):
-    # HBM→VMEM DMAs with a destination lane extent > 128 crash the v5e
-    # compile helper in this environment — run the kernel per 128-channel
-    # slab and concatenate (slabs are sliced by XLA outside the kernel).
-    c = flat.shape[-1]
-    if c > 128:
-        outs = []
-        for i in range(0, c, 128):
-            slab = flat[:, i : i + 128]
-            if slab.shape[-1] < 128:
-                slab = jnp.pad(slab, ((0, 0), (0, 128 - slab.shape[-1])))
-            outs.append(
-                _pallas_forward_128(slab, row_ids, by, bx, out_size,
-                                    sampling_ratio, t_span)
-            )
-        return jnp.concatenate(outs, axis=-1)[..., :c]
-    return _pallas_forward_128(flat, row_ids, by, bx, out_size,
-                               sampling_ratio, t_span)
-
-
-def _pallas_forward_128(flat, row_ids, by, bx, out_size, sampling_ratio,
-                        t_span):
     oh, ow = out_size
-    sr = sampling_ratio
     t = t_span
     r = row_ids.shape[0]
-    c = flat.shape[-1]
+    s, c = flat.shape
+
+    # channel fold: (S, C) -> (S·n, 128), a free row-major reshape; one
+    # extra window of zero rows so edge-row DMAs never shift alignment
+    if c % _LANES:
+        flat = jnp.pad(flat, ((0, 0), (0, _LANES - c % _LANES)))
+    n_half = flat.shape[1] // _LANES
+    flat2 = jnp.pad(
+        flat.reshape(s * n_half, _LANES), ((0, n_half * t), (0, 0))
+    )
+
+    # pad the ROI axis to a whole number of blocks
+    r_pad = -r % R_BLK
+    if r_pad:
+        row_ids = jnp.pad(row_ids, ((0, r_pad), (0, 0)))
+        by = jnp.pad(by, ((0, r_pad), (0, 0), (0, 0)))
+        bx = jnp.pad(bx, ((0, r_pad), (0, 0), (0, 0)))
+    rp = r + r_pad
+    n_blocks = rp // R_BLK
+
+    # fold the channel interleave into the x matrix: kron(Bx, I_n)
+    eye = jnp.eye(n_half, dtype=bx.dtype)
+    bx2 = jax.vmap(lambda m: jnp.kron(m, eye))(bx)  # (R, n·ow, n·t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, oh, t), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, R_BLK, oh, t), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ow, t), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, R_BLK, n_half * ow, n_half * t),
+                         lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat pyramid in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat2 pyramid in HBM
         ],
-        out_specs=pl.BlockSpec((1, oh, ow, c), lambda i, *_: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, R_BLK, oh, n_half * ow, _LANES),
+            lambda i, *_: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
-            pltpu.VMEM((t, t, c), flat.dtype),
-            pltpu.SemaphoreType.DMA((t,)),
+            pltpu.VMEM((2, R_BLK, t, n_half * t, _LANES), flat.dtype),
+            pltpu.SemaphoreType.DMA((2, R_BLK, t)),
         ],
     )
-    kernel = functools.partial(_kernel, t=t, oh=oh, ow=ow, sr=sr)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, t=t, oh=oh, ow2=n_half * ow, n_half=n_half,
+        n_blocks=n_blocks, s2_max=s * n_half,
+    )
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, oh, ow, c), jnp.float32),
-    )(row_ids, by, bx, flat)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, R_BLK, oh, n_half * ow, _LANES), jnp.float32
+        ),
+    )(row_ids, by.reshape(n_blocks, R_BLK, oh, t),
+      bx2.reshape(n_blocks, R_BLK, n_half * ow, n_half * t), flat2)
+    # (blocks, R_BLK, oh, n·ow, 128): dim 3 index is x·n + h — undo the
+    # interleave into channels
+    out = out.reshape(rp, oh, ow, n_half * _LANES)[:r, :, :, :c]
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
@@ -190,12 +228,23 @@ def _bwd(out_size, sampling_ratio, t_span, interpret, s_total, flat_dtype,
         return jnp.einsum("xw,txc->twc", bx_i, tmp)
 
     d_region = jax.vmap(per_roi)(by, bx, gs)  # (R, t, t, C)
-    start = jnp.clip(row_ids, 0, s_total - t)  # (R, t)
-    idx = start[:, :, None] + jnp.arange(t)[None, None, :]  # (R, t, t)
-    d_flat = jnp.zeros((s_total, c), jnp.float32)
-    d_flat = d_flat.at[idx.reshape(-1)].add(
-        d_region.reshape(-1, c), mode="drop"
-    ).astype(flat_dtype)
+    # Window-form scatter-add: one contiguous t·C element update per region
+    # row (the per-C-row form was 14.6+4.2 ms/step in the profiled train
+    # step; coarse windows give the scatter emitter 20 KB contiguous runs).
+    # The operand carries one window of zero padding so edge rows keep
+    # their alignment (matching the forward's padded read).
+    start = (jnp.clip(row_ids, 0, s_total) * c).reshape(-1, 1)  # (R·t, 1)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    d_flat = jax.lax.scatter_add(
+        jnp.zeros(((s_total + t) * c,), jnp.float32),
+        start,
+        d_region.reshape(-1, t * c),
+        dnums,
+    )[: s_total * c].reshape(s_total, c).astype(flat_dtype)
     # Box geometry (row_ids/by/bx derive from rois) gets no gradient —
     # matches the reference kernel (differentiable w.r.t. features only).
     return (d_flat, jnp.zeros_like(row_ids_f),

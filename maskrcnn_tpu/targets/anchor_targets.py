@@ -111,7 +111,14 @@ def anchor_targets(
         neg_keep = _keep_top_random(neg, k2, n_sample - n_pos, n_sample)
         label = jnp.where(neg & ~neg_keep, -1, label)
 
-        locs = bbox2loc(anchors, gt_i[argmax_gt])
+        # Columnar gather: gt_i[argmax_gt] as a single (A, 4) row gather
+        # lowered to a 16-byte-row custom fusion costing 7.3 ms/step at
+        # 205k anchors (profiled on v5e); four (A,)-from-(G,) column
+        # gathers with a fused stack are ~70× cheaper.
+        gt_sel = jnp.stack(
+            [gt_i[:, c][argmax_gt] for c in range(4)], axis=-1
+        )
+        locs = bbox2loc(anchors, gt_sel)
         return label, locs
 
     labels, locs = jax.vmap(per_image)(keys, gt_boxes, gt_valid, img_hw)

@@ -49,11 +49,18 @@ def softmax_ce_ignore(
     logits: jnp.ndarray,  # (N, C)
     labels: jnp.ndarray,  # (N,) int32, -1 = ignore
 ) -> jnp.ndarray:
-    """Mean softmax cross-entropy over non-ignored rows (chainer semantics)."""
+    """Mean softmax cross-entropy over non-ignored rows (chainer semantics).
+
+    The label pick is a one-hot contraction, NOT take_along_axis: a row
+    gather on a (B·A, 2) array lowers to a laneshuffling custom fusion that
+    alone cost 16.6 ms/step at 800×1024 b8 (9% of the step, profiled on
+    v5e); the one-hot multiply-sum fuses into the log_softmax chain.
+    """
     valid = labels >= 0
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    onehot = safe[:, None] == jnp.arange(logits.shape[-1])[None, :]
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
 
