@@ -137,6 +137,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from maskrcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from maskrcnn_tpu import config as cfg_lib
     from maskrcnn_tpu.data import SyntheticDetectionData
     from maskrcnn_tpu.train import create_train_state, init_model, make_train_step

@@ -32,6 +32,10 @@ def main(argv=None):
 
     import jax
 
+    from maskrcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from maskrcnn_tpu import config as cfg_lib
     from maskrcnn_tpu.eval.evaluator import evaluate_dataset
     from maskrcnn_tpu.train import create_train_state, init_model

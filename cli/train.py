@@ -84,6 +84,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from maskrcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from maskrcnn_tpu import config as cfg_lib
     from maskrcnn_tpu.train import (
         create_train_state,
