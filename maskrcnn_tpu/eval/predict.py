@@ -71,8 +71,21 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
     # global top-d (kept boxes come out score-sorted), so min(R, d) is exact.
     n_keep_pc = min(r_test, d)
 
+    # ------------------------------------------------------------------
+    # The pipeline is THREE jitted executables, not one. Functionally a
+    # single jit is correct (and is how round 1 shipped), but this
+    # environment's libtpu faults — "TPU worker process crashed" — when the
+    # vmapped per-class NMS block is compiled into the same executable as
+    # the backbone/decode graph (reproduced consistently on trained
+    # weights; each stage below runs clean standalone on the same inputs).
+    # The split costs two extra dispatches on ~4 MB of device-resident
+    # intermediates and nothing else; no fusion opportunity is lost across
+    # these boundaries.
+    # ------------------------------------------------------------------
+
     @jax.jit
-    def predict(variables, images, img_hw, scale):
+    def stage_decode(variables, images, img_hw, scale):
+        """Backbone + RPN + box head + per-class box decode."""
         b = images.shape[0]
         features, rpn_locs, rpn_scores = model.apply(variables, images, False)
 
@@ -94,7 +107,6 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             method=MaskRCNN.head_box,
         )
         probs = jax.nn.softmax(roi_scores, axis=-1)  # (B·R, n_class)
-
         per_class_loc = roi_cls_locs.shape[-1] != 4
 
         def decode_image(rois_i, locs_i, probs_i, rvalid_i, hw_i):
@@ -118,52 +130,95 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             cls_valid = (
                 rvalid_i[None, :] & (cls_scores > cfg.eval.score_thresh)
             )
+            return cls_boxes, cls_scores, cls_valid
 
-            # exact per-class greedy NMS: one vmap over the class axis
-            # (reference _suppress loops classes on host, maskrcnn.py:278-312)
-            keep_idx, keep_valid = jax.vmap(
-                lambda bx, sc, va: nms_padded(
-                    bx, sc, cfg.eval.nms_thresh, n_keep_pc, va
-                )
-            )(cls_boxes, cls_scores, cls_valid)  # (n_fg, K) each
-
-            kept_boxes = jnp.take_along_axis(
-                cls_boxes, keep_idx[..., None], axis=1
-            ).reshape(n_fg * n_keep_pc, 4)
-            kept_scores = jnp.take_along_axis(cls_scores, keep_idx, axis=1)
-            kept_scores = jnp.where(keep_valid, kept_scores, -jnp.inf).reshape(
-                n_fg * n_keep_pc
-            )
-            kept_labels = jnp.broadcast_to(
-                jnp.arange(n_fg, dtype=jnp.int32)[:, None], (n_fg, n_keep_pc)
-            ).reshape(n_fg * n_keep_pc)
-
-            # global top-d by score across all classes (pad when the pool
-            # is smaller than d so top_k always has enough slots)
-            if n_fg * n_keep_pc < d:
-                pad = d - n_fg * n_keep_pc
-                kept_scores = jnp.pad(
-                    kept_scores, (0, pad), constant_values=-jnp.inf
-                )
-                kept_boxes = jnp.pad(kept_boxes, ((0, pad), (0, 0)))
-                kept_labels = jnp.pad(kept_labels, (0, pad))
-            top_scores, top_i = jax.lax.top_k(kept_scores, d)
-            det_valid = jnp.isfinite(top_scores)
-            det_boxes = kept_boxes[top_i]
-            det_scores = jnp.where(det_valid, top_scores, 0.0)
-            det_labels = jnp.where(det_valid, kept_labels[top_i], 0)
-            return det_boxes, det_scores, det_labels, det_valid
-
-        det = jax.vmap(decode_image)(
+        cls_boxes, cls_scores, cls_valid = jax.vmap(decode_image)(
             props.rois,
             roi_cls_locs.reshape(b, r, -1),
             probs.reshape(b, r, -1),
             props.valid,
             img_hw,
         )
-        det_boxes, det_scores, det_labels, det_valid = det
+        return features, cls_boxes, cls_scores, cls_valid
 
-        # ---- pass 2: masks/heatmaps on refined boxes (reference :215-229) --
+    @jax.jit
+    def stage_nms(cls_boxes, cls_scores, cls_valid):
+        """Exact per-class greedy NMS (reference ``_suppress`` loops classes
+        on host, maskrcnn.py:278-312): classes vmapped, batch SEQUENTIAL
+        (lax.map). A batch-vmapped form materializes (B, n_fg, R, R) IoU +
+        suppression tensors — 4.5 GB at B=8/n_fg=79/R=300 — which crashes
+        this environment's TPU worker; per-image the peak is B× smaller and
+        the extra latency is negligible at eval time."""
+        per_image = jax.vmap(
+            lambda bx, sc, va: nms_padded(
+                bx, sc, cfg.eval.nms_thresh, n_keep_pc, va
+            )
+        )
+        return jax.lax.map(
+            lambda t: per_image(*t), (cls_boxes, cls_scores, cls_valid)
+        )  # (B, n_fg, K) each
+
+    @jax.jit
+    def stage_merge(cls_boxes, cls_scores, keep_idx, keep_valid):
+        """Global top-d merge across classes. Indices ride through the
+        top-k; only the final d winners' boxes are gathered (cheaper than
+        gathering all n_fg·K kept boxes, and avoids fusing a second
+        take_along_axis with the first — a combination this environment's
+        libtpu miscompiles)."""
+
+        def per_image(cls_boxes_i, cls_scores_i, keep_idx_i, keep_valid_i):
+            # GATHER-FREE: every index lookup is a one-hot contraction on
+            # the MXU. Gather lowerings in this environment's libtpu fault
+            # when several land in one executable (minimal repro: two
+            # take_along_axis fused → worker crash); one-hots sidestep the
+            # gather emitter entirely and are trivially cheap at this size.
+            onehot_k = (
+                keep_idx_i[:, :, None] == jnp.arange(r_test)[None, None, :]
+            )  # (n_fg, K, R)
+            kept_scores = jnp.sum(
+                jnp.where(onehot_k, cls_scores_i[:, None, :], 0.0), axis=-1
+            )
+            kept_scores = jnp.where(
+                keep_valid_i, kept_scores, -jnp.inf
+            ).reshape(n_fg * n_keep_pc)
+
+            # global top-d by score across all classes (pad when the pool
+            # is smaller than d so top_k always has enough slots)
+            if n_fg * n_keep_pc < d:
+                kept_scores = jnp.pad(
+                    kept_scores, (0, d - n_fg * n_keep_pc),
+                    constant_values=-jnp.inf,
+                )
+            top_scores, top_i = jax.lax.top_k(kept_scores, d)
+            det_valid = jnp.isfinite(top_scores)
+            safe_i = jnp.where(det_valid, top_i, 0)
+            label = safe_i // n_keep_pc  # (d,) class of each winner
+            slot = safe_i % n_keep_pc
+            # winner's ROI index: one-hot over the flattened kept table
+            onehot_w = (
+                safe_i[:, None] == jnp.arange(n_fg * n_keep_pc)[None, :]
+            )  # (d, n_fg·K)
+            roi_idx = jnp.sum(
+                jnp.where(onehot_w, keep_idx_i.reshape(-1)[None, :], 0),
+                axis=-1,
+            )  # (d,)
+            # winner's box: one-hot over the (n_fg·R) flattened box table
+            flat_pos = label * r_test + roi_idx  # (d,)
+            onehot_b = (
+                flat_pos[:, None] == jnp.arange(n_fg * r_test)[None, :]
+            ).astype(cls_boxes_i.dtype)  # (d, n_fg·R)
+            det_boxes = onehot_b @ cls_boxes_i.reshape(n_fg * r_test, 4)
+            det_scores = jnp.where(det_valid, top_scores, 0.0)
+            det_labels = jnp.where(det_valid, label.astype(jnp.int32), 0)
+            return det_boxes, det_scores, det_labels, det_valid
+
+        return jax.vmap(per_image)(cls_boxes, cls_scores, keep_idx,
+                                   keep_valid)
+
+    @jax.jit
+    def stage_mask(variables, features, det_boxes, det_labels):
+        """Pass 2: masks/heatmaps on refined boxes (reference :215-229)."""
+        b = det_boxes.shape[0]
         flat_boxes = det_boxes.reshape(b * d, 4)
         flat_levels = map_rois_to_fpn_levels(flat_boxes, 0, n_levels - 1)
         flat_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
@@ -172,13 +227,9 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             variables, features, flat_boxes, flat_bi, flat_levels, class_idx,
             method=MaskRCNN.head_mask,
         )
-
         if is_keypoint:
             s = mask_logits.shape[1]
-            heat = mask_logits.reshape(b, d, s, s, -1)
-            return Detections(det_boxes, det_scores, det_labels, det_valid,
-                              None, heat)
-
+            return None, mask_logits.reshape(b, d, s, s, -1)
         if mask_logits.ndim == 3:  # class-gathered (FPN mask head)
             sel = mask_logits
         else:  # heads without the gathered path (light/res5): select channel
@@ -188,8 +239,26 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
                 mask_logits, ch[:, None, None, None], axis=-1
             )[..., 0]
         s = sel.shape[-1]
-        masks = jax.nn.sigmoid(sel).reshape(b, d, s, s)
+        return jax.nn.sigmoid(sel).reshape(b, d, s, s), None
+
+    import os
+
+    sync = os.environ.get("MASKRCNN_SYNC_PREDICT") == "1"
+
+    def predict(variables, images, img_hw, scale):
+        out = stage_decode(variables, images, img_hw, scale)
+        if sync:
+            jax.block_until_ready(out)
+        features, cls_boxes, cls_scores, cls_valid = out
+        keep = stage_nms(cls_boxes, cls_scores, cls_valid)
+        if sync:
+            jax.block_until_ready(keep)
+        det = stage_merge(cls_boxes, cls_scores, *keep)
+        if sync:
+            jax.block_until_ready(det)
+        det_boxes, det_scores, det_labels, det_valid = det
+        masks, heat = stage_mask(variables, features, det_boxes, det_labels)
         return Detections(det_boxes, det_scores, det_labels, det_valid,
-                          masks, None)
+                          masks, heat)
 
     return predict

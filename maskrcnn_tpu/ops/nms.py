@@ -92,6 +92,21 @@ def nms_padded(
             return keep & ~suppress
 
         keep = jax.lax.fori_loop(0, n, body, valid_s)
+    elif algorithm == "fixpoint_static":
+        # Same Jacobi recurrence with a STATIC trip count (n rounds bounds
+        # any suppression-chain depth, so the result is identical). Exists
+        # because this environment's libtpu faults on the data-dependent
+        # ``while_loop`` form when it is vmapped inside a large jitted
+        # graph (the eval per-class NMS) — fori_loop codegen avoids it.
+        sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(
+            jnp.float32
+        )
+
+        def body_s(_, keep):
+            hit = keep.astype(jnp.float32) @ sup
+            return valid_s & (hit < 0.5)
+
+        keep = jax.lax.fori_loop(0, n, body_s, valid_s)
     else:
         # S[j, i] = 1 iff j (earlier in score order) suppresses i.
         sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(

@@ -227,6 +227,19 @@ class TestNMSFixpoint:
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
     @pytest.mark.parametrize("thresh", [0.3, 0.7])
+    def test_fixpoint_static_equals_sequential(self, seed, thresh):
+        r = np.random.RandomState(seed + 50)
+        boxes = random_boxes(r, 200, size=60.0)
+        scores = r.uniform(0, 1, 200).astype(np.float32)
+        i1, v1 = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                thresh, 200, algorithm="fixpoint_static")
+        i2, v2 = ops.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                thresh, 200, algorithm="sequential")
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("thresh", [0.3, 0.7])
     def test_chunked_equals_sequential(self, seed, thresh):
         """Chunked streaming NMS (the 12000-proposal parity path) is exact:
         small chunks + a tight n_out buffer reproduce the greedy oracle,
