@@ -30,10 +30,12 @@ class ProposalConfig:
     readable copy at reference utils/proposal_creator.py:53-69)."""
 
     nms_thresh: float = 0.7
-    # Reference: 12000/2000 train, 6000/300 test. TPU keeps the post budgets
-    # and trims pre-NMS to what fits an O(N²) on-device NMS (the extra
-    # candidates past ~2000 are noise ranks that NMS discards anyway);
-    # configurable if full parity sweeps are wanted.
+    # Reference: 12000/2000 train, 6000/300 test. The default trims budgets
+    # for throughput; the `parity` preset restores the full reference
+    # budgets over the chunked exact NMS. MEASURED (BASELINE.md round-2
+    # A/B): full budgets improve early-training AP substantially
+    # (+0.19 mAP50 at 500 steps) for ~4% step cost — prefer `parity` for
+    # quality-critical runs.
     n_train_pre_nms: int = 2000
     n_train_post_nms: int = 1000
     n_test_pre_nms: int = 1000
