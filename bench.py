@@ -43,6 +43,20 @@ _PEAK_FLOPS = [
 
 MFU_SUSPECT_BOUND = 0.60  # detection train steps never exceed this
 CLOCK_MISMATCH_BOUND = 3.0  # chained vs per-step rate ratio
+SLOW_SUSPECT_FACTOR = 1.5  # measured/expected step-time ratio
+
+# Expected chained ms/step on one healthy v5e for known configs, measured
+# round 3 (post window-form revert). LOW-side self-validation: round 2's
+# validator only caught impossibly-FAST runs, so a 3x-too-slow regression
+# (the 490 ms window-form step) sailed through unflagged. A measured step
+# above SLOW_SUSPECT_FACTOR x expected marks the run suspect — either the
+# code regressed or the chip/tunnel is degraded; both deserve a flag.
+# Keyed by (preset, height, width, batch, dtype, mode).
+_EXPECTED_STEP_MS = {
+    ("fpn_mask", 800, 1024, 8, "bfloat16", "train"): 190.0,
+    ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 780.0,
+    ("fpn_mask", 800, 1024, 8, "float32", "train"): 450.0,
+}
 
 
 def _peak_flops(device_kind: str) -> float | None:
@@ -79,9 +93,18 @@ def _static_flops(jitted, *args) -> float | None:
 
 
 def _validate(record: dict, flops: float | None, peak: float | None,
-              step_ms_chained: float, step_ms_p50: float) -> None:
+              step_ms_chained: float, step_ms_p50: float,
+              expected_ms: float | None = None) -> None:
     """Attach MFU + suspect flags to the record, mutating it."""
     reasons = []
+    if expected_ms is not None:
+        record["expected_step_ms"] = expected_ms
+        if step_ms_chained > SLOW_SUSPECT_FACTOR * expected_ms:
+            reasons.append(
+                f"chained step {step_ms_chained:.0f} ms exceeds "
+                f"{SLOW_SUSPECT_FACTOR}x the expected {expected_ms:.0f} ms "
+                "for this config — code regression or degraded chip/tunnel"
+            )
     if flops is not None:
         record["step_flops"] = flops
         implied = flops / (step_ms_chained / 1e3)
@@ -240,7 +263,16 @@ def main():
         "final_loss": round(final_loss, 4),
         **meta,
     }
-    _validate(record, flops, peak, chained_ms, p50_ms)
+    expected = _EXPECTED_STEP_MS.get(
+        (args.preset, args.height, args.width, args.batch, args.dtype,
+         args.mode)
+    )
+    # grad-accum / roi-align / momentum-dtype variants shift the step cost;
+    # only validate the exact recorded configurations.
+    if args.grad_accum is not None or args.roi_align != "auto" \
+            or args.remat or args.momentum_dtype is not None:
+        expected = None
+    _validate(record, flops, peak, chained_ms, p50_ms, expected)
     print(json.dumps(record))
 
 

@@ -284,26 +284,18 @@ def _mlra_region(
         spatial_scales, sampling_ratio, t_span,
     )
 
-    # Window-form gather: each region ROW is t consecutive flat rows, so
-    # pull it as ONE contiguous t·C-element slice of the flattened buffer
-    # (20 KB at t=20, C=256) instead of t separate C-row gathers (1 KB
-    # each). The 1 KB-row form was the single hottest op in the profiled
-    # train step (9.6 ms/step fwd at 2048 ROIs, ~87 GB/s effective);
-    # coarse windows let the gather emitter run near memcpy bandwidth.
-    # Zero-pad by one window so edge rows keep their alignment: clamping a
-    # window INTO the buffer would shift its contents against the
-    # interpolation weights; reading zeros past the end is exact because
-    # all out-of-buffer sample positions carry zero weight.
-    s = flat.shape[0]
-    flat1 = jnp.concatenate(
-        [flat.reshape(-1), jnp.zeros((t * c,), flat.dtype)]
-    )
-    starts = (jnp.clip(row_ids, 0, s) * c).astype(jnp.int32)  # (R, t)
-
-    def per_roi(starts_i, by_i, bx_i):
-        region = jax.vmap(
-            lambda st: jax.lax.dynamic_slice(flat1, (st,), (t * c,))
-        )(starts_i).reshape(t, t, c)
+    # Row-gather form: each region row is one C-row gather. A round-2
+    # rewrite pulled each row as a contiguous t·C dynamic_slice instead
+    # ("window form"); measured head-to-head on this libtpu it is 6.5x
+    # SLOWER (110 ms vs 17 ms fwd, 159 vs 24 fwd+bwd at 2048 ROIs — the
+    # vmapped dynamic_slice lowers to a per-element gather and its VJP to a
+    # serialized scatter), and was the root cause of the round-2 16 img/s
+    # headline regression. Keep the simple gather: XLA's gather emitter
+    # handles (R·t, C) row fetches near bandwidth.
+    def per_roi(row_ids_i, by_i, bx_i):
+        col = jnp.arange(t)
+        idx = row_ids_i[:, None] + col[None, :]  # (t, t)
+        region = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]  # (t, t, C)
         tmp = jnp.einsum("yt,twc->ywc", by_i, region,
                          preferred_element_type=jnp.float32)
         return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
@@ -311,7 +303,7 @@ def _mlra_region(
 
     # By/Bx already include the sr×sr sub-sample averaging: this is the
     # final (R, oh, ow, C) output.
-    return jax.vmap(per_roi)(starts, by, bx)
+    return jax.vmap(per_roi)(row_ids, by, bx)
 
 
 @functools.partial(
