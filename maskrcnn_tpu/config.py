@@ -30,15 +30,15 @@ class ProposalConfig:
     readable copy at reference utils/proposal_creator.py:53-69)."""
 
     nms_thresh: float = 0.7
-    # Reference: 12000/2000 train, 6000/300 test. The default trims budgets
-    # for throughput; the `parity` preset restores the full reference
-    # budgets over the chunked exact NMS. MEASURED (BASELINE.md round-2
-    # A/B): full budgets improve early-training AP substantially
-    # (+0.19 mAP50 at 500 steps) for ~4% step cost — prefer `parity` for
-    # quality-critical runs.
-    n_train_pre_nms: int = 2000
-    n_train_post_nms: int = 1000
-    n_test_pre_nms: int = 1000
+    # Reference budgets: 12000/2000 train, 6000/300 test — the DEFAULT.
+    # The round-2 A/B (BASELINE.md) measured the full budgets improving
+    # early-training AP substantially (+0.19 mAP50 at 500 steps) over the
+    # round-1 trimmed 2000/1000 for ~4% step cost (affordable via the
+    # chunked exact NMS, ops/nms.py). Quality is the default; the `fast`
+    # preset opts into the trimmed budgets for raw throughput.
+    n_train_pre_nms: int = 12000
+    n_train_post_nms: int = 2000
+    n_test_pre_nms: int = 6000
     n_test_post_nms: int = 300
     min_size: float = 16.0
 
@@ -153,6 +153,11 @@ class EvalConfig:
     score_thresh: float = 0.05  # use_preset('evaluate'), SURVEY §2c
     nms_thresh: float = 0.3
     max_detections: int = 100
+    # mask pass-2 pooling levels: "pass1" = the levels of the pass-1 ROIs
+    # that produced each detection (EXACT reference behavior —
+    # maskrcnn.py:215-229 threads `levels` into predict_mask);
+    # "refined" = recompute from the refined boxes. A/B in BASELINE.md.
+    mask_levels: str = "pass1"
 
 
 def use_preset(cfg: "Config", preset: str) -> "Config":
@@ -249,20 +254,22 @@ def darknet_keypoint(n_keypoints: int = 20) -> Config:
 
 
 def parity() -> Config:
-    """FPN Mask R-CNN with the reference's FULL proposal budgets
-    (12000/2000 train, 6000/300 test — reference
-    utils/proposal_creator.py:54-60 / chainercv defaults).
+    """Alias of ``fpn_mask``: since round 3 the default preset already
+    carries the reference's full proposal budgets (the round-2 A/B showed
+    they win on AP — BASELINE.md). Kept for CLI/docs continuity."""
+    return fpn_mask()
 
-    The default ``fpn_mask`` preset trims pre-NMS to 2000 because the dense
-    O(N²) NMS can't afford 12000; this preset routes through the exact
-    chunked NMS (ops/nms.py ``algorithm="chunked"``, auto above 4096 boxes)
-    so the un-trimmed budgets are runnable for A/B parity sweeps. See
-    BASELINE.md for the measured AP delta between the two.
-    """
+
+def fast() -> Config:
+    """FPN Mask R-CNN with TRIMMED proposal budgets (2000/1000 train,
+    1000/300 test) — the round-1 throughput configuration. ~4% faster per
+    step than the reference budgets at a measured early-training quality
+    cost (−0.19 mAP50 at 500 synthetic steps, BASELINE.md round-2 A/B).
+    Opt-in; the default preset keeps reference-budget quality."""
     return _rep(
         fpn_mask(),
-        proposals=dict(n_train_pre_nms=12000, n_train_post_nms=2000,
-                       n_test_pre_nms=6000, n_test_post_nms=300),
+        proposals=dict(n_train_pre_nms=2000, n_train_post_nms=1000,
+                       n_test_pre_nms=1000, n_test_post_nms=300),
     )
 
 
@@ -289,6 +296,7 @@ def tiny_test() -> Config:
 PRESETS = {
     "fpn_mask": fpn_mask,
     "parity": parity,
+    "fast": fast,
     "fpn_keypoint": fpn_keypoint,
     "light_head": light_head,
     "c4_res5": c4_res5,
