@@ -97,12 +97,21 @@ def evaluate_dataset(
         pred_masks, pred_labels, pred_scores, gt_masks_all, gt_labels_all,
         n_class,
     )
-    coco = eval_instance_segmentation_coco_style(
+    # full pycocotools-semantics evaluation (101-pt AP, area ranges,
+    # maxDets tiers; crowd regions never reach the Batch pipeline — the
+    # loader skips iscrowd annotations exactly like the reference,
+    # coco_dataset.py:69-97 — so gt_crowd stays empty here)
+    from maskrcnn_tpu.eval.coco_eval import evaluate_coco
+
+    coco = evaluate_coco(
         pred_masks, pred_labels, pred_scores, gt_masks_all, gt_labels_all,
         n_class,
     )
-    report = {"map": voc["map"], "coco/map": coco["map"],
-              "coco/map50": coco["map50"], "coco/map75": coco["map75"]}
+    report = {"map": voc["map"], "coco/map": coco["AP"],
+              "coco/map50": coco["AP50"], "coco/map75": coco["AP75"],
+              "coco/map_small": coco["APs"], "coco/map_medium": coco["APm"],
+              "coco/map_large": coco["APl"], "coco/ar1": coco["AR1"],
+              "coco/ar10": coco["AR10"], "coco/ar100": coco["AR100"]}
     names = label_names or [str(i) for i in range(n_class)]
     for i, name in enumerate(names):
         if np.isfinite(voc["ap"][i]):

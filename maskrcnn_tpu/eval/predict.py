@@ -1,4 +1,4 @@
-"""Two-pass inference: boxes first, then masks on refined boxes — one jit.
+"""Two-pass inference: boxes first, then masks on refined boxes.
 
 Spec: reference ``MaskRCNN.predict`` (chainer_maskrcnn/model/maskrcnn.py:157-259):
 pass 1 runs backbone+RPN+box branch, boxes are decoded
@@ -21,14 +21,37 @@ TPU-native differences:
   the per-class slot count ``min(R, max_detections)`` loses nothing,
 - the reference's off-by-one quirk of skipping the LAST fg class during
   mask prediction (:287-291, a workaround kept in its code) is fixed here —
-  every fg class is eligible (SURVEY §7 hard-part 7 policy: fix bugs).
+  every fg class is eligible (SURVEY §7 hard-part 7 policy: fix bugs),
+- mask pass-2 pyramid levels: ``cfg.eval.mask_levels`` selects between the
+  reference's exact behavior — pool masks at the levels of the PASS-1 ROIs
+  that produced each detection (maskrcnn.py:215-229 threads ``levels``
+  into ``predict_mask``) — and recomputing levels from the refined boxes
+  ("refined"). Default is "pass1" for reference parity; the A/B delta is
+  recorded in BASELINE.md.
+
+TWO EXECUTION PATHS, selected by ``MASKRCNN_HEALTHY_TPU``:
+
+- healthy (``=1``, and the default on non-TPU platforms): ONE jitted
+  executable using native gathers (``take_along_axis`` / advanced
+  indexing) — the idiomatic XLA form.
+- workaround (``=0``, and the default on TPU): FOUR jitted stages with
+  one-hot contractions instead of gathers. This environment's libtpu
+  faults ("TPU worker process crashed") when several gather lowerings or
+  the vmapped per-class NMS compile into one executable (minimal repro:
+  two fused ``take_along_axis`` on (8,79,300,·) inputs). The split costs
+  two dispatches on ~4 MB of intermediates. Both paths are asserted
+  equal on CPU in tests/test_eval.py.
+
+The per-class NMS batch loop stays ``lax.map`` (sequential) on BOTH paths:
+a batch-vmapped form materializes (B, n_fg, R, R) IoU tensors — 4.5 GB at
+B=8/n_fg=79/R=300 — a memory decision independent of the libtpu fault.
 
 Host-side mask pasting / keypoint decoding live in ``postprocess.py``.
 """
 
 from __future__ import annotations
 
-import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -54,6 +77,17 @@ class Detections(NamedTuple):
     heatmaps: jnp.ndarray | None  # (B, D, S, S, K) logits (keypoint head)
 
 
+def _use_healthy_path() -> bool:
+    flag = os.environ.get("MASKRCNN_HEALTHY_TPU")
+    if flag is not None:
+        return flag == "1"
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return platform != "tpu"
+
+
 def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
     """Jitted ``(variables, images, img_hw, scale) -> Detections``."""
     h, w = image_size or cfg.train.image_size
@@ -70,21 +104,12 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
     # per-class kept slots: only the top-d kept of a class can reach the
     # global top-d (kept boxes come out score-sorted), so min(R, d) is exact.
     n_keep_pc = min(r_test, d)
+    pass1_levels = cfg.eval.mask_levels == "pass1"
+    healthy = _use_healthy_path()
 
-    # ------------------------------------------------------------------
-    # The pipeline is THREE jitted executables, not one. Functionally a
-    # single jit is correct (and is how round 1 shipped), but this
-    # environment's libtpu faults — "TPU worker process crashed" — when the
-    # vmapped per-class NMS block is compiled into the same executable as
-    # the backbone/decode graph (reproduced consistently on trained
-    # weights; each stage below runs clean standalone on the same inputs).
-    # The split costs two extra dispatches on ~4 MB of device-resident
-    # intermediates and nothing else; no fusion opportunity is lost across
-    # these boundaries.
-    # ------------------------------------------------------------------
+    # ---------------- stage bodies (plain functions, jitted per-path) -----
 
-    @jax.jit
-    def stage_decode(variables, images, img_hw, scale):
+    def decode_body(variables, images, img_hw, scale):
         """Backbone + RPN + box head + per-class box decode."""
         b = images.shape[0]
         features, rpn_locs, rpn_scores = model.apply(variables, images, False)
@@ -139,16 +164,12 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             props.valid,
             img_hw,
         )
-        return features, cls_boxes, cls_scores, cls_valid
+        return features, props.levels, cls_boxes, cls_scores, cls_valid
 
-    @jax.jit
-    def stage_nms(cls_boxes, cls_scores, cls_valid):
+    def nms_body(cls_boxes, cls_scores, cls_valid):
         """Exact per-class greedy NMS (reference ``_suppress`` loops classes
         on host, maskrcnn.py:278-312): classes vmapped, batch SEQUENTIAL
-        (lax.map). A batch-vmapped form materializes (B, n_fg, R, R) IoU +
-        suppression tensors — 4.5 GB at B=8/n_fg=79/R=300 — which crashes
-        this environment's TPU worker; per-image the peak is B× smaller and
-        the extra latency is negligible at eval time."""
+        (lax.map) — see module docstring for the memory rationale."""
         per_image = jax.vmap(
             lambda bx, sc, va: nms_padded(
                 bx, sc, cfg.eval.nms_thresh, n_keep_pc, va
@@ -158,20 +179,16 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             lambda t: per_image(*t), (cls_boxes, cls_scores, cls_valid)
         )  # (B, n_fg, K) each
 
-    @jax.jit
-    def stage_merge(cls_boxes, cls_scores, keep_idx, keep_valid):
-        """Global top-d merge across classes. Indices ride through the
-        top-k; only the final d winners' boxes are gathered (cheaper than
-        gathering all n_fg·K kept boxes, and avoids fusing a second
-        take_along_axis with the first — a combination this environment's
-        libtpu miscompiles)."""
+    def merge_body_onehot(cls_boxes, cls_scores, roi_levels, keep_idx,
+                          keep_valid):
+        """Global top-d merge across classes, GATHER-FREE: every index
+        lookup is a one-hot contraction on the MXU (this environment's
+        libtpu faults when several gather lowerings land in one
+        executable; one-hots sidestep the gather emitter and are
+        trivially cheap at this size)."""
 
-        def per_image(cls_boxes_i, cls_scores_i, keep_idx_i, keep_valid_i):
-            # GATHER-FREE: every index lookup is a one-hot contraction on
-            # the MXU. Gather lowerings in this environment's libtpu fault
-            # when several land in one executable (minimal repro: two
-            # take_along_axis fused → worker crash); one-hots sidestep the
-            # gather emitter entirely and are trivially cheap at this size.
+        def per_image(cls_boxes_i, cls_scores_i, roi_levels_i, keep_idx_i,
+                      keep_valid_i):
             onehot_k = (
                 keep_idx_i[:, :, None] == jnp.arange(r_test)[None, None, :]
             )  # (n_fg, K, R)
@@ -193,7 +210,6 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
             det_valid = jnp.isfinite(top_scores)
             safe_i = jnp.where(det_valid, top_i, 0)
             label = safe_i // n_keep_pc  # (d,) class of each winner
-            slot = safe_i % n_keep_pc
             # winner's ROI index: one-hot over the flattened kept table
             onehot_w = (
                 safe_i[:, None] == jnp.arange(n_fg * n_keep_pc)[None, :]
@@ -208,19 +224,62 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
                 flat_pos[:, None] == jnp.arange(n_fg * r_test)[None, :]
             ).astype(cls_boxes_i.dtype)  # (d, n_fg·R)
             det_boxes = onehot_b @ cls_boxes_i.reshape(n_fg * r_test, 4)
+            # winner's pass-1 ROI level: one-hot over the R ROI slots
+            onehot_r = (
+                roi_idx[:, None] == jnp.arange(r_test)[None, :]
+            )  # (d, R)
+            det_levels = jnp.sum(
+                jnp.where(onehot_r, roi_levels_i[None, :], 0), axis=-1
+            ).astype(jnp.int32)
             det_scores = jnp.where(det_valid, top_scores, 0.0)
             det_labels = jnp.where(det_valid, label.astype(jnp.int32), 0)
-            return det_boxes, det_scores, det_labels, det_valid
+            return det_boxes, det_scores, det_labels, det_valid, det_levels
 
-        return jax.vmap(per_image)(cls_boxes, cls_scores, keep_idx,
-                                   keep_valid)
+        return jax.vmap(per_image)(cls_boxes, cls_scores, roi_levels,
+                                   keep_idx, keep_valid)
 
-    @jax.jit
-    def stage_mask(variables, features, det_boxes, det_labels):
+    def merge_body_native(cls_boxes, cls_scores, roi_levels, keep_idx,
+                          keep_valid):
+        """Same merge with native gathers — the idiomatic XLA form for a
+        healthy platform."""
+
+        def per_image(cls_boxes_i, cls_scores_i, roi_levels_i, keep_idx_i,
+                      keep_valid_i):
+            kept_scores = jnp.take_along_axis(
+                cls_scores_i, keep_idx_i, axis=1
+            )  # (n_fg, K)
+            kept_scores = jnp.where(
+                keep_valid_i, kept_scores, -jnp.inf
+            ).reshape(n_fg * n_keep_pc)
+            if n_fg * n_keep_pc < d:
+                kept_scores = jnp.pad(
+                    kept_scores, (0, d - n_fg * n_keep_pc),
+                    constant_values=-jnp.inf,
+                )
+            top_scores, top_i = jax.lax.top_k(kept_scores, d)
+            det_valid = jnp.isfinite(top_scores)
+            safe_i = jnp.where(det_valid, top_i, 0)
+            label = safe_i // n_keep_pc
+            roi_idx = keep_idx_i.reshape(-1)[safe_i]  # (d,)
+            det_boxes = cls_boxes_i[label, roi_idx]  # (d, 4)
+            det_levels = roi_levels_i[roi_idx].astype(jnp.int32)
+            det_scores = jnp.where(det_valid, top_scores, 0.0)
+            det_labels = jnp.where(det_valid, label.astype(jnp.int32), 0)
+            return det_boxes, det_scores, det_labels, det_valid, det_levels
+
+        return jax.vmap(per_image)(cls_boxes, cls_scores, roi_levels,
+                                   keep_idx, keep_valid)
+
+    def mask_body(variables, features, det_boxes, det_labels, det_levels):
         """Pass 2: masks/heatmaps on refined boxes (reference :215-229)."""
         b = det_boxes.shape[0]
         flat_boxes = det_boxes.reshape(b * d, 4)
-        flat_levels = map_rois_to_fpn_levels(flat_boxes, 0, n_levels - 1)
+        if pass1_levels:
+            # reference behavior: pool at the level of the pass-1 ROI that
+            # produced the detection (maskrcnn.py:215-229)
+            flat_levels = det_levels.reshape(b * d)
+        else:
+            flat_levels = map_rois_to_fpn_levels(flat_boxes, 0, n_levels - 1)
         flat_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         class_idx = None if is_keypoint else det_labels.reshape(b * d)
         mask_logits = model.apply(
@@ -241,7 +300,30 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
         s = sel.shape[-1]
         return jax.nn.sigmoid(sel).reshape(b, d, s, s), None
 
-    import os
+    # ---------------- path assembly --------------------------------------
+
+    if healthy:
+        @jax.jit
+        def predict_jit(variables, images, img_hw, scale):
+            features, roi_levels, cls_boxes, cls_scores, cls_valid = (
+                decode_body(variables, images, img_hw, scale)
+            )
+            keep_idx, keep_valid = nms_body(cls_boxes, cls_scores, cls_valid)
+            det_boxes, det_scores, det_labels, det_valid, det_levels = (
+                merge_body_native(cls_boxes, cls_scores, roi_levels,
+                                  keep_idx, keep_valid)
+            )
+            masks, heat = mask_body(variables, features, det_boxes,
+                                    det_labels, det_levels)
+            return Detections(det_boxes, det_scores, det_labels, det_valid,
+                              masks, heat)
+
+        return predict_jit
+
+    stage_decode = jax.jit(decode_body)
+    stage_nms = jax.jit(nms_body)
+    stage_merge = jax.jit(merge_body_onehot)
+    stage_mask = jax.jit(mask_body)
 
     sync = os.environ.get("MASKRCNN_SYNC_PREDICT") == "1"
 
@@ -249,15 +331,16 @@ def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
         out = stage_decode(variables, images, img_hw, scale)
         if sync:
             jax.block_until_ready(out)
-        features, cls_boxes, cls_scores, cls_valid = out
+        features, roi_levels, cls_boxes, cls_scores, cls_valid = out
         keep = stage_nms(cls_boxes, cls_scores, cls_valid)
         if sync:
             jax.block_until_ready(keep)
-        det = stage_merge(cls_boxes, cls_scores, *keep)
+        det = stage_merge(cls_boxes, cls_scores, roi_levels, *keep)
         if sync:
             jax.block_until_ready(det)
-        det_boxes, det_scores, det_labels, det_valid = det
-        masks, heat = stage_mask(variables, features, det_boxes, det_labels)
+        det_boxes, det_scores, det_labels, det_valid, det_levels = det
+        masks, heat = stage_mask(variables, features, det_boxes, det_labels,
+                                 det_levels)
         return Detections(det_boxes, det_scores, det_labels, det_valid,
                           masks, heat)
 
