@@ -27,6 +27,13 @@ def main(argv=None):
     p.add_argument("--coco-root", default=None)
     p.add_argument("--coco-split", default="val2014")
     p.add_argument("--n-batches", type=int, default=16)
+    p.add_argument("--label-file", default=None,
+                   help="class-name list for n_fg_class + per-class "
+                        "ap/<name> names (reference train.py:92-93); "
+                        "COCO datasets default to the annotation categories")
+    p.add_argument("--category-filter", default=None,
+                   help="comma-separated COCO category names (OR image "
+                        "filter, reference coco_dataset.py:30-39)")
     p.add_argument("--out", default=None, help="write report JSON here")
     args = p.parse_args(argv)
 
@@ -42,6 +49,11 @@ def main(argv=None):
     from maskrcnn_tpu.train.checkpoint import load_params_only
 
     cfg = cfg_lib.PRESETS[args.preset]()
+    label_names = None
+    if args.label_file:
+        with open(args.label_file) as f:
+            label_names = [ln.strip() for ln in f if ln.strip()]
+        cfg = cfg_lib._rep(cfg, model=dict(n_fg_class=len(label_names)))
     model, variables = init_model(cfg, jax.random.key(0))
     state = create_train_state(cfg, variables, jax.random.key(1))
     if args.weight:
@@ -49,7 +61,6 @@ def main(argv=None):
         print(f"loaded {args.weight}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    label_names = None
     if args.dataset == "synthetic":
         from maskrcnn_tpu.data import SyntheticDetectionData
 
@@ -57,9 +68,15 @@ def main(argv=None):
     else:
         from maskrcnn_tpu.data.coco import COCODetectionLoader
 
+        category_filter = (
+            [s.strip() for s in args.category_filter.split(",") if s.strip()]
+            if args.category_filter else None
+        )
         loader = COCODetectionLoader(args.coco_root, args.coco_split, cfg,
-                                     flip=False)
-        label_names = loader.index.label_names
+                                     flip=False,
+                                     category_filter=category_filter)
+        if label_names is None:
+            label_names = loader.index.label_names
         batches = iter(loader)
 
     if cfg.model.head == "fpn_keypoint":

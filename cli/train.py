@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fpn_mask",
-                   choices=["fpn_mask", "parity", "fpn_keypoint",
+                   choices=["fpn_mask", "parity", "fast", "fpn_keypoint",
                             "light_head", "c4_res5", "darknet_keypoint",
                             "tiny_test"])
     p.add_argument("--out", default="result",
@@ -64,10 +64,24 @@ def parse_args(argv=None):
                    choices=["synthetic", "coco", "depth"])
     p.add_argument("--coco-root", default=None)
     p.add_argument("--coco-split", default="train2014")
+    p.add_argument("--eval-split", default=None,
+                   help="COCO split for in-training evaluation (reference "
+                        "keeps a separate val iterator, train.py:113-115); "
+                        "default: a held-out stream for synthetic data, and "
+                        "a SEPARATE loader on the training split otherwise "
+                        "(beware: that measures training-set fit)")
     p.add_argument("--depth-manifest", default=None,
                    help="txt list of npz files (reference DepthDataset)")
-    p.add_argument("--label-file", default="data/label_coco.txt",
-                   help="class-name list (reference --label_file)")
+    p.add_argument("--label-file", default=None,
+                   help="class-name list, one per line; sets n_fg_class and "
+                        "per-class ap/<name> report names (reference "
+                        "train.py:92-93 derives n_fg_class from it). "
+                        "Default: data/label_coco.txt for COCO-shaped "
+                        "presets, none for keypoint/tiny presets")
+    p.add_argument("--category-filter", default=None,
+                   help="comma-separated COCO category names; keeps images "
+                        "containing ANY of them (OR semantics, reference "
+                        "coco_dataset.py:30-39)")
     p.add_argument("--buckets", default=None,
                    help="comma-separated HxW static padding buckets, e.g. "
                         "'800x1024,1024x800'; each image goes to its "
@@ -119,6 +133,24 @@ def main(argv=None):
     if train_over:
         cfg = cfg_lib._rep(cfg, train=train_over)
 
+    # label file → n_fg_class + per-class report names (reference
+    # train.py:92-93: n_fg_class = len(open(label_file).readlines())).
+    label_file = args.label_file
+    if label_file is None and cfg.model.head != "fpn_keypoint" \
+            and args.preset != "tiny_test":
+        label_file = os.path.join(
+            os.path.dirname(__file__), "..", "data", "label_coco.txt")
+    label_names = None
+    if label_file:
+        with open(label_file) as f:
+            label_names = [ln.strip() for ln in f if ln.strip()]
+        cfg = cfg_lib._rep(cfg, model=dict(n_fg_class=len(label_names)))
+
+    category_filter = (
+        [s.strip() for s in args.category_filter.split(",") if s.strip()]
+        if args.category_filter else None
+    )
+
     # build the dataset first so the LR schedule can be epoch-aware
     # (reference decays per EPOCH, train.py:140 / train_keypoints.py:158)
     if args.dataset == "synthetic":
@@ -133,7 +165,8 @@ def main(argv=None):
         from maskrcnn_tpu.data.coco import COCODetectionLoader
 
         data = COCODetectionLoader(
-            args.coco_root, args.coco_split, cfg, seed=args.seed
+            args.coco_root, args.coco_split, cfg, seed=args.seed,
+            category_filter=category_filter,
         )
     try:
         cfg = cfg_lib._rep(cfg, train=dict(epoch_size=len(data)))
@@ -235,15 +268,43 @@ def main(argv=None):
             return {}
         return cmds
 
+    # In-training eval uses a SEPARATE loader instance: iterating the
+    # training loader here would race the Prefetcher thread on the loader's
+    # epoch-order cache (both mutate it), silently breaking step-pure
+    # resume. With --eval-split it is also a genuinely held-out split
+    # (reference keeps a distinct val iterator, train.py:113-115).
+    _eval_data = None
+
+    def eval_loader():
+        nonlocal _eval_data
+        if _eval_data is not None:
+            return _eval_data
+        if args.dataset == "synthetic":
+            _eval_data = type(data)(cfg, seed=args.seed + 999)
+        elif args.dataset == "depth":
+            from maskrcnn_tpu.data.depth import DepthKeypointDataset
+
+            _eval_data = DepthKeypointDataset(
+                cfg, args.depth_manifest, seed=args.seed + 999)
+        else:
+            from maskrcnn_tpu.data.coco import COCODetectionLoader
+
+            if args.eval_split is None:
+                print("[eval] note: no --eval-split; evaluating a separate "
+                      "loader on the TRAINING split (training-set fit)")
+            _eval_data = COCODetectionLoader(
+                args.coco_root, args.eval_split or args.coco_split, cfg,
+                seed=args.seed + 999, flip=False,
+                category_filter=category_filter,
+            )
+        return _eval_data
+
     def run_eval(step_i):
         # in-training evaluation (reference evaluator extension,
         # train.py:164-166) — mask or keypoint metric by head type.
         variables_now = {"params": jax.device_get(state.params),
                          "batch_stats": jax.device_get(state.batch_stats)}
-        eval_batches = (
-            iter(type(data)(cfg, seed=args.seed + 999))
-            if args.dataset == "synthetic" else iter(data)
-        )
+        eval_batches = iter(eval_loader())
         if cfg.model.head == "fpn_keypoint":
             from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
 
@@ -253,7 +314,8 @@ def main(argv=None):
             from maskrcnn_tpu.eval.evaluator import evaluate_dataset
 
             rep = evaluate_dataset(
-                cfg, model, variables_now, eval_batches, args.eval_batches)
+                cfg, model, variables_now, eval_batches, args.eval_batches,
+                label_names=label_names)
         print(f"[eval @{step_i}] " + " ".join(
             f"{k}={v:.4f}" for k, v in rep.items()
             if isinstance(v, float) and "/" not in k or k.startswith("coco")

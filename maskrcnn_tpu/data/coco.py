@@ -383,6 +383,9 @@ class COCODetectionLoader:
         if buckets and len(buckets) > 1:
             yield from self._iter_bucketed(step)
             return
+        # a LONE bucket overrides cfg.train.image_size rather than being
+        # silently dropped
+        image_size = buckets[0] if buckets else None
         b = self.cfg.train.batch_size
         per_epoch = max(1, len(self.ids) // b)
         while True:
@@ -390,7 +393,7 @@ class COCODetectionLoader:
             order = self._epoch_order(epoch)
             idxs = order.take(np.arange(j * b, (j + 1) * b), mode="wrap")
             rngs = [self._example_rng(epoch, int(i)) for i in idxs]
-            yield self.batch(idxs, rngs)
+            yield self.batch(idxs, rngs, image_size=image_size)
             step += 1
 
     def _iter_bucketed(self, step: int):

@@ -152,12 +152,15 @@ class DepthKeypointDataset:
             epoch, j = divmod(step, per_epoch)
             order = self._epoch_order(epoch)
             idxs = order.take(np.arange(j * b, (j + 1) * b), mode="wrap")
+            # augmentation rng derives from (epoch, dataset index) — same
+            # scheme as COCODetectionLoader._example_rng, so draws are
+            # invariant to batch_size
             rngs = [
                 np.random.RandomState(
-                    (self.seed * 100_003 + epoch * 131_071 + j * b + k)
+                    (self.seed * 100_003 + epoch * 131_071 + int(i))
                     % (2**31 - 1)
                 )
-                for k in range(b)
+                for i in idxs
             ]
             yield self.batch(idxs, rngs)
             step += 1

@@ -217,9 +217,11 @@ def make_train_step(cfg: Config, model: MaskRCNN,
                 state.params, state.batch_stats, batch, key
             )
         else:
-            # micro-batch scan: same gradients as the full batch (BN is
-            # frozen by default; running stats take the last micro-batch),
-            # 1/accum the activation memory.
+            # micro-batch scan: near-identical to the full-batch gradient
+            # (losses normalize by each micro-batch's own valid-row count,
+            # so averaging micro-gradients differs when counts are uneven;
+            # BN is frozen by default and running stats take the last
+            # micro-batch), at 1/accum the activation memory.
             micro = batch.images.shape[0] // accum
             batch_r = jax.tree.map(
                 lambda x: x.reshape(accum, micro, *x.shape[1:]), batch
