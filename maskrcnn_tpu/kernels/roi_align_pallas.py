@@ -48,32 +48,40 @@ R_BLK = 8  # ROIs per grid step
 _LANES = 128
 
 
-def _kernel(row_ids_ref, by_ref, bx2_ref, flat2_ref, out_ref, regions, sems,
-            *, t: int, oh: int, ow2: int, n_half: int, n_blocks: int,
-            s2_max: int):
+def _kernel(geom_cur_ref, geom_next_ref, by_ref, bx2_ref, flat2_ref,
+            out_ref, regions, sems, *, t: int, oh: int, ow2: int,
+            n_half: int, n_blocks: int, s2_max8: int):
     i = pl.program_id(0)
-    rows = n_half * t  # reshaped rows per region row
+    rows = n_half * t  # reshaped rows per region row (multiple of 8)
 
-    def issue(block, slot):
+    def issue(geom_ref, slot):
         for rr in range(R_BLK):
+            # geom holds (base, stride) in PRE-ALIGNED 8-row units; region
+            # row ty starts at (base + ty·stride)·8. Two design constraints
+            # from Mosaic: (a) the explicit ×8 proves the HBM slice offset
+            # is sublane-aligned (a raw dynamic offset fails its
+            # divisibility check), (b) the geometry arrives as two small
+            # per-block SMEM windows (current + next, for the double
+            # buffer) rather than one scalar-prefetch table — a prefetched
+            # s32[2048,24] operand is scoped to the FULL 1.00 MB SMEM and
+            # kills compilation at train-step ROI counts.
+            base = geom_ref[0, rr, 0]
+            stride = geom_ref[0, rr, 1]
             for ty in range(t):
-                # clip to the UNPADDED extent; reads past it land in the
-                # zero pad appended by _pallas_forward (alignment preserved)
-                start = row_ids_ref[block * R_BLK + rr, ty] * n_half
-                start = jnp.clip(start, 0, s2_max)
+                idx8 = jnp.minimum(base + ty * stride, s2_max8)
                 pltpu.make_async_copy(
-                    flat2_ref.at[pl.ds(start, rows)],
+                    flat2_ref.at[pl.ds(idx8 * 8, rows)],
                     regions.at[slot, rr, ty],
                     sems.at[slot, rr, ty],
                 ).start()
 
     @pl.when(i == 0)
     def _():
-        issue(0, 0)
+        issue(geom_cur_ref, 0)
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        issue(i + 1, (i + 1) % 2)
+        issue(geom_next_ref, (i + 1) % 2)
 
     slot = i % 2
     for rr in range(R_BLK):
@@ -112,18 +120,33 @@ def _pallas_forward(flat, row_ids, by, bx, out_size, sampling_ratio, t_span):
     s, c = flat.shape
 
     # channel fold: (S, C) -> (S·n, 128), a free row-major reshape; one
-    # extra window of zero rows so edge-row DMAs never shift alignment
+    # extra window of zero rows (8-padded) so edge-row DMAs stay in bounds
     if c % _LANES:
         flat = jnp.pad(flat, ((0, 0), (0, _LANES - c % _LANES)))
     n_half = flat.shape[1] // _LANES
+    rows = n_half * t
+    if rows % 8:
+        raise ValueError(
+            f"n_half*t_span = {rows} must be a multiple of 8 (sublane "
+            "tiling); the multilevel wrapper picks t_span accordingly"
+        )
     flat2 = jnp.pad(
-        flat.reshape(s * n_half, _LANES), ((0, n_half * t), (0, 0))
+        flat.reshape(s * n_half, _LANES), ((0, rows + 8), (0, 0))
     )
+    # Region rows form an arithmetic sequence (base + ty·stride): pass only
+    # (base, stride) per ROI, in 8-row units. Exact division — the wrapper
+    # aligns row_ids·n_half to multiples of 8 by construction (quantized x
+    # starts, padded row strides).
+    base8 = (row_ids[:, 0] * n_half // 8).astype(jnp.int32)
+    stride8 = ((row_ids[:, 1] - row_ids[:, 0]) * n_half // 8).astype(
+        jnp.int32)
+    geom8 = jnp.stack([jnp.maximum(base8, 0), jnp.maximum(stride8, 0)],
+                      axis=1)  # (R, 2)
 
     # pad the ROI axis to a whole number of blocks
     r_pad = -r % R_BLK
     if r_pad:
-        row_ids = jnp.pad(row_ids, ((0, r_pad), (0, 0)))
+        geom8 = jnp.pad(geom8, ((0, r_pad), (0, 0)))
         by = jnp.pad(by, ((0, r_pad), (0, 0), (0, 0)))
         bx = jnp.pad(bx, ((0, r_pad), (0, 0), (0, 0)))
     rp = r + r_pad
@@ -133,38 +156,44 @@ def _pallas_forward(flat, row_ids, by, bx, out_size, sampling_ratio, t_span):
     eye = jnp.eye(n_half, dtype=bx.dtype)
     bx2 = jax.vmap(lambda m: jnp.kron(m, eye))(bx)  # (R, n·ow, n·t)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    kernel = functools.partial(
+        _kernel, t=t, oh=oh, ow2=n_half * ow, n_half=n_half,
+        n_blocks=n_blocks, s2_max8=(s * n_half) // 8,
+    )
+    out = pl.pallas_call(
+        kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, R_BLK, oh, t), lambda i, *_: (i, 0, 0, 0),
+            # (base, stride) geometry: the CURRENT block and the NEXT one
+            # (the double buffer issues block i+1's DMAs during step i)
+            pl.BlockSpec((1, R_BLK, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # next-block view of the same geometry (padded by one block so
+            # the index map stays the plain affine i+1)
+            pl.BlockSpec((1, R_BLK, 2), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R_BLK, oh, t), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_BLK, n_half * ow, n_half * t),
-                         lambda i, *_: (i, 0, 0, 0),
+                         lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # flat2 pyramid in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, R_BLK, oh, n_half * ow, _LANES),
-            lambda i, *_: (i, 0, 0, 0, 0),
+            lambda i: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, R_BLK, t, n_half * t, _LANES), flat.dtype),
             pltpu.SemaphoreType.DMA((2, R_BLK, t)),
         ],
-    )
-    kernel = functools.partial(
-        _kernel, t=t, oh=oh, ow2=n_half * ow, n_half=n_half,
-        n_blocks=n_blocks, s2_max=s * n_half,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_blocks, R_BLK, oh, n_half * ow, _LANES), jnp.float32
         ),
-    )(row_ids, by.reshape(n_blocks, R_BLK, oh, t),
+    )(geom8.reshape(n_blocks, R_BLK, 2),
+      jnp.pad(geom8.reshape(n_blocks, R_BLK, 2), ((0, 1), (0, 0), (0, 0))),
+      by.reshape(n_blocks, R_BLK, oh, t),
       bx2.reshape(n_blocks, R_BLK, n_half * ow, n_half * t), flat2)
     # (blocks, R_BLK, oh, n·ow, 128): dim 3 index is x·n + h — undo the
     # interleave into channels
@@ -267,20 +296,45 @@ def multilevel_roi_align_pallas(
 ) -> jnp.ndarray:
     """Drop-in for :func:`maskrcnn_tpu.ops.multilevel_roi_align` using the
     Pallas kernel (``interpret=True`` runs the XLA-equivalent path for CPU
-    tests)."""
+    tests).
+
+    ALIGNMENT: Mosaic requires dynamic HBM slice offsets provably divisible
+    by the 8-row sublane tiling. Every region start is
+    ``(block + row·W + rx0) · n_half`` reshaped rows, so all three terms
+    are made multiples of ``a = 8 / gcd(n_half, 8)`` spatial columns:
+    level widths are padded to multiples of ``a`` (making ``row·W_pad`` and
+    all block offsets aligned) and each region's x start is quantized down
+    to a multiple of ``a`` with the window widened by ``a`` columns (the
+    extra columns carry zero interpolation weight — exactness preserved).
+    """
+    import math
+
     b, _, _, c = features[0].shape
+    n_half = -(-c // _LANES)
+    a = 8 // math.gcd(n_half, 8)
+    # widen for the quantized x start, then round so n_half·t is a multiple
+    # of 8 (the DMA length must stay sublane-aligned too)
+    t_eff = -(-(t_span + a - 1) // a) * a
+
     shapes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
-    sizes = shapes[:, 0].astype(np.int64) * shapes[:, 1]
-    offsets = np.concatenate([[0], np.cumsum(sizes * b)[:-1]])
+    w_pads = np.array([-(-int(w) // a) * a for w in shapes[:, 1]], np.int32)
+    sizes_p = shapes[:, 0].astype(np.int64) * w_pads
+    offsets = np.concatenate([[0], np.cumsum(sizes_p * b)[:-1]])
     flat = jnp.concatenate(
-        [f.reshape(b * f.shape[1] * f.shape[2], c) for f in features], axis=0
+        [
+            jnp.pad(f, ((0, 0), (0, 0), (0, int(wp) - f.shape[2]), (0, 0))
+                    ).reshape(b * f.shape[1] * int(wp), c)
+            for f, wp in zip(features, w_pads)
+        ],
+        axis=0,
     )
     row_ids, by, bx = region_params(
         shapes, offsets, rois, roi_batch_idx, roi_levels, out_size,
-        spatial_scales, sampling_ratio, t_span,
+        spatial_scales, sampling_ratio, t_eff, x_align=a,
+        row_strides=w_pads,
     )
     return _roi_align_core(
         flat, row_ids.astype(jnp.float32), by, bx, out_size,
-        sampling_ratio, t_span, interpret, int(flat.shape[0]),
+        sampling_ratio, t_eff, interpret, int(flat.shape[0]),
         str(flat.dtype),
     )

@@ -183,6 +183,8 @@ def region_params(
     spatial_scales: tuple[float, ...],
     sampling_ratio: int,
     t_span: int,
+    x_align: int = 1,
+    row_strides: np.ndarray | None = None,
 ):
     """Per-ROI interpolation data for the region-matrix formulation.
 
@@ -195,6 +197,12 @@ def region_params(
     6 GB HBM allocation. Shared by the XLA implementation and the Pallas
     kernel (kernels/roi_align_pallas.py), and reused by the VJP:
     d_flat = scatter-add of Byᵀ @ g @ Bx over the same rows.
+
+    ``x_align`` quantizes each region's x start DOWN to a multiple (the
+    Pallas kernel needs provably sublane-aligned DMA offsets); pass a
+    correspondingly larger ``t_span`` so the window still covers the ROI.
+    ``row_strides`` (per level) overrides the level width as the flat row
+    stride, for buffers whose rows are padded (again for alignment).
     """
     oh, ow = out_size
     sr = sampling_ratio
@@ -205,9 +213,13 @@ def region_params(
     lvl_h = jnp.asarray(shapes[:, 0], jnp.float32)[roi_levels]
     lvl_w = jnp.asarray(shapes[:, 1], jnp.float32)[roi_levels]
     lvl_off = jnp.asarray(offsets, jnp.int32)[roi_levels]
+    if row_strides is None:
+        stride = lvl_w.astype(jnp.int32)
+    else:
+        stride = jnp.asarray(row_strides, jnp.int32)[roi_levels]
     block = lvl_off + roi_batch_idx.astype(jnp.int32) * (
-        lvl_h * lvl_w
-    ).astype(jnp.int32)
+        lvl_h.astype(jnp.int32) * stride
+    )
 
     y0 = rois[:, 0] * scales
     x0 = rois[:, 1] * scales
@@ -219,7 +231,7 @@ def region_params(
     iy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) / sr
     ix = (jnp.arange(nx, dtype=jnp.float32) + 0.5) / sr
 
-    def per_roi(y0_i, x0_i, bh_i, bw_i, h_i, w_i, block_i):
+    def per_roi(y0_i, x0_i, bh_i, bw_i, h_i, w_i, block_i, stride_i):
         ys = y0_i + bh_i * iy  # (ny,) global feature coords
         xs = x0_i + bw_i * ix
         y_ok = (ys >= -1.0) & (ys <= h_i)
@@ -229,6 +241,8 @@ def region_params(
         xc = jnp.clip(xs, 0.0, w_i - 1.0)
         ry0 = jnp.floor(yc[0]).astype(jnp.int32)  # samples ascend
         rx0 = jnp.floor(xc[0]).astype(jnp.int32)
+        if x_align > 1:
+            rx0 = (rx0 // x_align) * x_align
 
         def axis_weights(coords, ok, r0, n_axis, axis_len):
             lo = jnp.floor(coords)
@@ -248,11 +262,11 @@ def region_params(
         by = by.reshape(oh, sr, t).mean(axis=1)
         bx = bx.reshape(ow, sr, t).mean(axis=1)
 
-        w_i32 = w_i.astype(jnp.int32)
-        row_ids = block_i + (ry0 + jnp.arange(t)) * w_i32 + rx0  # (t,)
+        row_ids = block_i + (ry0 + jnp.arange(t)) * stride_i + rx0  # (t,)
         return row_ids, by, bx
 
-    return jax.vmap(per_roi)(y0, x0, bin_h, bin_w, lvl_h, lvl_w, block)
+    return jax.vmap(per_roi)(y0, x0, bin_h, bin_w, lvl_h, lvl_w, block,
+                             stride)
 
 
 @functools.partial(

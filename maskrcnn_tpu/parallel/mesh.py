@@ -64,9 +64,34 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-host: ``device_put`` rejects shardings with non-addressable
+    devices, so each process contributes its (identical) full copy via
+    ``make_array_from_process_local_data``. Typed PRNG keys can't pass
+    through that host-array path directly; their raw key data is assembled
+    and re-wrapped under a jit with a replicated out-sharding (an SPMD
+    no-op program, so it is multi-host safe).
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if x is None:
+            return None
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            garr = jax.make_array_from_process_local_data(sharding, data)
+            return jax.jit(
+                jax.random.wrap_key_data, out_shardings=sharding
+            )(garr)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+
+    return jax.tree.map(put, tree)
 
 
 def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data",

@@ -58,7 +58,10 @@ def convert_resnet50_npz(npz: dict, prefix: str = "") -> tuple[dict, dict]:
             "var": get(f"{cname}/avg_var"),
         }
 
-    if f"{prefix}conv1/W" in npz:  # absent when converting a res5-only subtree
+    # stem present only in full backbones — gate on conv1 AND bn1: the res5
+    # head owns an unrelated ``conv1`` (3×3, resnet_roi_mask_head.py:31)
+    # under the same prefix, so conv1/W alone is ambiguous
+    if f"{prefix}conv1/W" in npz and f"{prefix}bn1/gamma" in npz:
         params["conv1"] = {"kernel": _conv(get("conv1/W"))}
         params["bn1"], stats["bn1"] = {}, {}
         put_bn(params["bn1"], stats["bn1"], "bn1")

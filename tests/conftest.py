@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the slow tier's cost is almost entirely
+# full-model CPU compiles; caching them on disk makes reruns (and the
+# separate CLI invocations inside the integration tests) load in seconds.
+from maskrcnn_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

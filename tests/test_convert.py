@@ -343,3 +343,64 @@ def test_box_branch_forward_parity(rng):
             {"params": params}, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(locs), want_locs, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(scores), want_scores, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Independent save_npz-layout emitter round-trip (real-artifact blocker rig)
+# ---------------------------------------------------------------------------
+
+from maskrcnn_tpu.utils.chainer_npz import emit_model_npz, save_model_npz
+
+
+class _Recorder(dict):
+    """Dict recording which keys the converter actually consumed."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self.consumed.add(k)
+        return v
+
+
+@pytest.mark.parametrize("backbone,head,kw", [
+    ("fpn", "fpn", {}),
+    ("fpn", "fpn_keypoint", {"n_fg_class": 1, "n_keypoints": 17}),
+    ("c4", "light", {}),
+    ("c4", "res5", {}),
+    ("darknet", "fpn", {"n_fg_class": 3}),
+])
+def test_emitter_keys_fully_consumed(backbone, head, kw, tmp_path):
+    """Every key a chainer save_npz artifact carries (independent emitter,
+    chainer serializer semantics incl. persistent BN `N` counters) is
+    consumed by the converter — no silent drops — after a REAL npz file
+    round-trip."""
+    path = tmp_path / "model.npz"
+    save_model_npz(str(path), backbone=backbone, head=head, seed=3, **kw)
+    loaded = np.load(str(path))
+    rec = _Recorder({k: loaded[k] for k in loaded.files})
+    params, stats = convert_full_npz(rec, backbone, head, n_mask_convs=8)
+    # persistent BN step counters are serialization bookkeeping, not weights
+    ignorable = {k for k in rec if k.endswith("/N")}
+    unconsumed = set(rec) - rec.consumed - ignorable
+    assert not unconsumed, sorted(unconsumed)[:10]
+    # sanity: the trees are non-trivial
+    assert len(jax.tree.leaves(params)) > 10
+
+
+def test_emitter_layout_matches_fabrication():
+    """The independent emitter and the test-local fabrication agree on the
+    full FPN key manifest (two separately-derived writings of the same
+    chainer layout; `N` persistents are emitter-only by design)."""
+    rng = np.random.RandomState(0)
+    fab = set(fabricate_fpn_full(rng, n_class=80))
+    emit = {k for k in emit_model_npz("fpn", "fpn", n_fg_class=79)
+            if not k.endswith("/N")}
+    # the emitter models chainer ResNet50Layers convs as bias-free (the
+    # caffe-converted weights fold conv biases into BN); the fabrication
+    # adds biases. Compare on W/bn keys.
+    fab_w = {k for k in fab if not k.endswith("/b")}
+    emit_w = {k for k in emit if not k.endswith("/b")}
+    assert fab_w == emit_w
