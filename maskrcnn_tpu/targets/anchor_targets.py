@@ -111,13 +111,16 @@ def anchor_targets(
         neg_keep = _keep_top_random(neg, k2, n_sample - n_pos, n_sample)
         label = jnp.where(neg & ~neg_keep, -1, label)
 
-        # Columnar gather: gt_i[argmax_gt] as a single (A, 4) row gather
-        # lowered to a 16-byte-row custom fusion costing 7.3 ms/step at
-        # 205k anchors (profiled on v5e); four (A,)-from-(G,) column
-        # gathers with a fused stack are ~70× cheaper.
-        gt_sel = jnp.stack(
-            [gt_i[:, c][argmax_gt] for c in range(4)], axis=-1
-        )
+        # gt_i[argmax_gt] as a ONE-HOT CONTRACTION on the MXU. Profiled
+        # alternatives at 205k anchors × G=64 on v5e: a single (A, 4) row
+        # gather = 7.3 ms/step; round 2's four columnar (A,)-from-(G,)
+        # gathers = 38.8 ms/step across fwd+vjp (tiny-operand gathers lower
+        # at 2-3 GiB/s). The (A, G) @ (G, 4) matmul is ~0.1 GFLOP — noise
+        # on the MXU. f32: box coords up to ~1024 don't survive bf16.
+        onehot = (
+            argmax_gt[:, None] == jnp.arange(gt_i.shape[0])[None, :]
+        ).astype(jnp.float32)  # (A, G)
+        gt_sel = onehot @ gt_i  # (A, 4)
         locs = bbox2loc(anchors, gt_sel)
         return label, locs
 
