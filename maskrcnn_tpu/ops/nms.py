@@ -108,24 +108,7 @@ def nms_padded(
 
         keep = jax.lax.fori_loop(0, n, body_s, valid_s)
     else:
-        # S[j, i] = 1 iff j (earlier in score order) suppresses i.
-        sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(
-            jnp.float32
-        )
-
-        def cond(state):
-            keep, prev, it = state
-            return (it < n) & jnp.any(keep != prev)
-
-        def body(state):
-            keep, _, it = state
-            hit = keep.astype(jnp.float32) @ sup  # (N,) MXU matvec
-            new = valid_s & (hit < 0.5)
-            return new, keep, it + 1
-
-        keep, _, _ = jax.lax.while_loop(
-            cond, body, (valid_s, ~valid_s, jnp.int32(0))
-        )
+        keep = _jacobi_fixpoint(iou, valid_s, iou_thresh, pos)
 
     # Compact the kept boxes (already score-sorted) into n_out slots.
     rank = jnp.cumsum(keep) - 1  # rank among kept, valid where keep
@@ -139,15 +122,35 @@ def nms_padded(
     return indices, out_valid
 
 
-def _greedy_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
-                     iou_thresh: float) -> jnp.ndarray:
-    """Within-block exact greedy keep mask (boxes already score-sorted)."""
-    n = boxes.shape[0]
-    iou = box_iou(boxes, boxes)
-    pos = jnp.arange(n)
+_JACOBI_SWEEPS_PER_TRIP = 1
+
+
+def _jacobi_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
+                     pos: jnp.ndarray) -> jnp.ndarray:
+    """Jacobi iteration to the greedy-NMS fixpoint (profiled form).
+
+    Two TPU-oriented choices, both EXACT:
+
+    * ``sup`` is stored bf16: its entries are 0/1 (exactly representable),
+      ``keep`` is 0/1, and the dot accumulates in f32
+      (``preferred_element_type``) — identical hits at half the HBM traffic
+      of the f32 matrix, which is what each sweep is bound by.
+    * ``_JACOBI_SWEEPS_PER_TRIP`` sweeps run per ``while_loop`` trip.
+      Checking convergence across a multi-sweep trip is sound (the
+      suppression DAG is acyclic, so any orbit periodic under Fᵏ is already
+      the unique fixpoint), but profiling at the 12000-box train budget
+      showed typical chain depth is ~2-3: unrolling 4 sweeps/trip DOUBLED
+      the dot work for no overhead win (NMS stage 34 → 48 ms/step), so the
+      trip count stays 1.
+    """
+    n = iou.shape[-1]
     sup = ((iou > iou_thresh) & (pos[:, None] < pos[None, :])).astype(
-        jnp.float32
+        jnp.bfloat16
     )
+    # Materialize sup BEFORE the loop: without the barrier XLA fuses the
+    # compare/convert into the in-loop dot, re-reading the f32 iou matrix
+    # (2× the bytes) and redoing the compares every sweep.
+    sup = jax.lax.optimization_barrier(sup)
 
     def cond(state):
         keep, prev, it = state
@@ -155,12 +158,26 @@ def _greedy_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
 
     def body(state):
         keep, _, it = state
-        hit = keep.astype(jnp.float32) @ sup
-        new = valid & (hit < 0.5)
-        return new, keep, it + 1
+        new = keep
+        for _ in range(_JACOBI_SWEEPS_PER_TRIP):
+            hit = jnp.dot(
+                new.astype(jnp.bfloat16), sup,
+                preferred_element_type=jnp.float32,
+            )
+            new = valid & (hit < 0.5)
+        return new, keep, it + _JACOBI_SWEEPS_PER_TRIP
 
     keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, jnp.int32(0)))
     return keep
+
+
+def _greedy_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
+                     iou_thresh: float) -> jnp.ndarray:
+    """Within-block exact greedy keep mask (boxes already score-sorted)."""
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    pos = jnp.arange(n)
+    return _jacobi_fixpoint(iou, valid, iou_thresh, pos)
 
 
 def _nms_chunked(
