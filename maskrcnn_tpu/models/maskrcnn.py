@@ -35,6 +35,7 @@ from maskrcnn_tpu.models.heads import (
 )
 from maskrcnn_tpu.models.rpn import RPNHead
 from maskrcnn_tpu.ops import multilevel_roi_align
+from maskrcnn_tpu.ops.roi_align import multilevel_roi_align_train
 
 
 _BACKBONE_STRIDES = {
@@ -158,6 +159,49 @@ class MaskRCNN(nn.Module):
         if isinstance(self.head, Res5Head):
             return self.head(pooled_box, pooled_mask, train)
         return self.head(pooled_box, pooled_mask)
+
+    def head_train(self, features, rois_bn, levels_bn, n_pos,
+                   class_idx=None):
+        """Train-path head over (B, n) ROI slots with positives FIRST:
+        box branch on every slot + mask/keypoint branch on the (B, :n_pos)
+        prefix → (locs, scores, masks).
+
+        For FPN heads both branches pool from ONE shared region gather
+        (:func:`maskrcnn_tpu.ops.roi_align.multilevel_roi_align_train`) —
+        the region window is out-size independent, so the second
+        gather/backward-scatter the reference pays
+        (fpn_roi_mask_head.py:74-78 after :59-63) disappears. Single-level
+        heads (light/res5/darknet) fall back to two pools.
+        """
+        b, n = rois_bn.shape[:2]
+        fused = (
+            self.cfg.model.roi_align in ("auto", "region")
+            and len(features) > 1
+            and not getattr(self.head, "needs_thin_map", False)
+            and isinstance(self.head, (FPNMaskHead, FPNKeypointHead))
+        )
+        if fused:
+            sb = self.head.roi_size_box
+            sm = self.head.roi_size_mask
+            pooled_box, pooled_mask = multilevel_roi_align_train(
+                features, rois_bn, levels_bn, n_pos,
+                (sb, sb), (sm, sm), self.spatial_scales,
+            )
+            locs, scores, _ = self.head(pooled_box)
+            if class_idx is not None and isinstance(self.head, FPNMaskHead):
+                masks = self.head.predict_mask(pooled_mask, class_idx)
+            else:
+                masks = self.head.predict_mask(pooled_mask)
+            return locs, scores, masks
+        rois = rois_bn.reshape(b * n, 4)
+        levels = levels_bn.reshape(b * n)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+        locs, scores = self.head_box(features, rois, batch_idx, levels)
+        pos_rois = rois_bn[:, :n_pos].reshape(b * n_pos, 4)
+        pos_lv = levels_bn[:, :n_pos].reshape(b * n_pos)
+        pos_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_pos)
+        masks = self.head_mask(features, pos_rois, pos_bi, pos_lv, class_idx)
+        return locs, scores, masks
 
     def head_mask(self, features, rois, roi_batch_idx, roi_levels,
                   class_idx=None):

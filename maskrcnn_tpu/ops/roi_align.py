@@ -189,6 +189,7 @@ def region_params(
     x_align: int = 1,
     row_strides: np.ndarray | None = None,
     t_span_x: int | None = None,
+    origin: str = "sample",
 ):
     """Per-ROI interpolation data for the region-matrix formulation.
 
@@ -211,6 +212,10 @@ def region_params(
     ``t_span_x`` columns) — used by the folded-gather path, whose x start is
     quantized to the fold width and therefore needs up to ``fold-1`` extra
     columns of (zero-weighted) coverage.
+    ``origin="box"`` anchors the window at the ROI box origin instead of the
+    first sample coordinate; windows then depend only on the ROI box, so two
+    out_sizes (box 7×7 and mask 14×14) share one gathered region. Costs ≤1
+    row/col of far-edge coverage (exact-span bound t−3 instead of t−2).
     """
     oh, ow = out_size
     sr = sampling_ratio
@@ -248,8 +253,12 @@ def region_params(
 
         yc = jnp.clip(ys, 0.0, h_i - 1.0)
         xc = jnp.clip(xs, 0.0, w_i - 1.0)
-        ry0 = jnp.floor(yc[0]).astype(jnp.int32)  # samples ascend
-        rx0 = jnp.floor(xc[0]).astype(jnp.int32)
+        if origin == "box":
+            ry0 = jnp.floor(jnp.clip(y0_i, 0.0, h_i - 1.0)).astype(jnp.int32)
+            rx0 = jnp.floor(jnp.clip(x0_i, 0.0, w_i - 1.0)).astype(jnp.int32)
+        else:
+            ry0 = jnp.floor(yc[0]).astype(jnp.int32)  # samples ascend
+            rx0 = jnp.floor(xc[0]).astype(jnp.int32)
         if x_align > 1:
             rx0 = (rx0 // x_align) * x_align
 
@@ -422,3 +431,114 @@ def _mlra_impl(
     c = flat.shape[-1]
     vals = vals.reshape(r, oh, sr, ow, sr, c)
     return jnp.mean(vals, axis=(2, 4))  # (R, oh, ow, C)
+
+
+def multilevel_roi_align_train(
+    features: list[jnp.ndarray],  # per level: (B, Hl, Wl, C)
+    rois_bn: jnp.ndarray,  # (B, n, 4) yxyx image coords, positives FIRST
+    levels_bn: jnp.ndarray,  # (B, n) int32
+    n_pos: int,  # positive-slot prefix length per image
+    out_size_box: tuple[int, int],
+    out_size_mask: tuple[int, int],
+    spatial_scales: tuple[float, ...],
+    sampling_ratio: int = 2,
+    t_span: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Box pooling for ALL (B·n) ROI slots + mask pooling for the (B·n_pos)
+    positive prefix, sharing ONE region gather (and therefore one backward
+    scatter) over the pyramid.
+
+    The region window of a ROI is out-size independent (it covers the ROI's
+    extent in its level's frame), so the box 7×7 and mask 14×14 pools differ
+    only in their interpolation matrices. The reference pools twice
+    (fpn_roi_mask_head.py:59-63 box, :75-78 mask — 512 separate kernel
+    launches); pooling both from one gathered region tensor halves the
+    gather/scatter traffic, the dominant head cost on TPU. The mask branch's
+    regions are a contiguous (B, :n_pos) slice whose VJP is a pad — no
+    second scatter.
+    """
+    assert len(features) == len(spatial_scales)
+    b, _, _, c = features[0].shape
+    shapes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
+    sizes = shapes[:, 0].astype(np.int64) * shapes[:, 1]
+    offsets = np.concatenate([[0], np.cumsum(sizes * b)[:-1]])
+    flat = jnp.concatenate(
+        [f.reshape(b * f.shape[1] * f.shape[2], c) for f in features], axis=0
+    )
+    if t_span is None:
+        t_span = 20
+    fold = 8 if all(int(wl) % 8 == 0 for wl in shapes[:, 1]) else 1
+    return _mlra_region_pair(
+        flat, shapes, offsets, rois_bn, levels_bn, n_pos,
+        out_size_box, out_size_mask, spatial_scales, sampling_ratio,
+        t_span, fold,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pos", "out_size_box", "out_size_mask",
+                     "spatial_scales", "sampling_ratio", "t_span", "fold"),
+)
+def _mlra_region_pair(
+    flat: jnp.ndarray,  # (S_total, C)
+    shapes: np.ndarray,
+    offsets: np.ndarray,
+    rois_bn: jnp.ndarray,  # (B, n, 4)
+    levels_bn: jnp.ndarray,  # (B, n)
+    n_pos: int,
+    out_size_box: tuple[int, int],
+    out_size_mask: tuple[int, int],
+    spatial_scales: tuple[float, ...],
+    sampling_ratio: int,
+    t_span: int,
+    fold: int,
+):
+    b, n = rois_bn.shape[:2]
+    c = flat.shape[-1]
+    t = t_span
+    tx = -(-(t + fold - 1) // fold) * fold if fold > 1 else t
+
+    rois = rois_bn.reshape(b * n, 4)
+    levels = levels_bn.reshape(b * n)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    row_ids, by_b, bx_b = region_params(
+        shapes, offsets, rois, batch_idx, levels, out_size_box,
+        spatial_scales, sampling_ratio, t_span,
+        x_align=fold, t_span_x=tx, origin="box",
+    )
+    pos_rois = rois_bn[:, :n_pos].reshape(b * n_pos, 4)
+    pos_lv = levels_bn[:, :n_pos].reshape(b * n_pos)
+    pos_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_pos)
+    _, by_m, bx_m = region_params(
+        shapes, offsets, pos_rois, pos_bi, pos_lv, out_size_mask,
+        spatial_scales, sampling_ratio, t_span,
+        x_align=fold, t_span_x=tx, origin="box",
+    )
+
+    if fold > 1:
+        ff = flat.reshape(flat.shape[0] // fold, fold * c)
+        txf = tx // fold
+
+        def fetch(row_ids_i):
+            idx = row_ids_i[:, None] // fold + jnp.arange(txf)[None, :]
+            return ff[jnp.clip(idx, 0, ff.shape[0] - 1)].reshape(t, tx, c)
+    else:
+
+        def fetch(row_ids_i):
+            idx = row_ids_i[:, None] + jnp.arange(t)[None, :]
+            return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+
+    regions = jax.vmap(fetch)(row_ids)  # (B·n, t, tx, C) — the ONE gather
+
+    def pool(region, by_i, bx_i):
+        tmp = jnp.einsum("yt,twc->ywc", by_i, region,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
+                          preferred_element_type=jnp.float32)
+
+    pooled_box = jax.vmap(pool)(regions, by_b, bx_b)
+    reg_pos = regions.reshape(b, n, t, tx, c)[:, :n_pos]
+    reg_pos = reg_pos.reshape(b * n_pos, t, tx, c)
+    pooled_mask = jax.vmap(pool)(reg_pos, by_m, bx_m)
+    return pooled_box, pooled_mask

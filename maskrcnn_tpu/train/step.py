@@ -116,32 +116,23 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             n_levels=n_levels,
         )
 
-        rois, levels, batch_idx = _flatten_rois(sample.rois, sample.levels)
-        (roi_cls_locs, roi_scores), mut2 = model.apply(
-            {"params": params, "batch_stats": mut["batch_stats"]},
-            features, rois, batch_idx, levels,
-            mutable=["batch_stats"],
-            method=MaskRCNN.head_box,
-        )
-
-        # Mask branch only on the positive slots: the sampler places
-        # positives FIRST (slots [0, n_pos_cap)), and only positives carry
-        # mask/keypoint loss — 4× less mask pooling + branch work than the
-        # reference, identical gradients.
+        # Head: box branch on every slot + mask/keypoint branch only on the
+        # positive slots (the sampler places positives FIRST, slots
+        # [0, n_pos_cap), and only positives carry mask loss — 4× less mask
+        # branch work than the reference, identical gradients). For FPN
+        # heads both branches share ONE region gather (head_train).
         n_pos_cap = int(round(cfg.sampler.n_sample * cfg.sampler.pos_ratio))
-        pos_rois, pos_levels, pos_bi = _flatten_rois(
-            sample.rois[:, :n_pos_cap], sample.levels[:, :n_pos_cap]
-        )
         # class-gathered final conv (FPN mask head): compute only each
         # positive's GT-class mask channel.
         class_idx = (
             None if is_keypoint
             else (sample.labels[:, :n_pos_cap] - 1).reshape(-1)
         )
-        roi_masks = model.apply(
+        (roi_cls_locs, roi_scores, roi_masks), mut2 = model.apply(
             {"params": params, "batch_stats": mut["batch_stats"]},
-            features, pos_rois, pos_bi, pos_levels, class_idx,
-            method=MaskRCNN.head_mask,
+            features, sample.rois, sample.levels, n_pos_cap, class_idx,
+            mutable=["batch_stats"],
+            method=MaskRCNN.head_train,
         )
 
         at = anchor_targets(

@@ -195,6 +195,40 @@ class TestRoiAlign:
             )[0]
             np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("widths", [(32, 16), (30, 15)])
+    def test_shared_region_pair_matches_separate(self, rng, widths):
+        """multilevel_roi_align_train (one shared gather, box-origin
+        windows, 8-folded when widths allow / plain when not) must match
+        two independent pools."""
+        from maskrcnn_tpu.ops.roi_align import multilevel_roi_align_train
+
+        b, n, n_pos, c = 2, 6, 3, 4
+        shapes = [(24, widths[0]), (12, widths[1])]
+        scales = (0.25, 0.125)
+        feats = [
+            jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+            for h, w in shapes
+        ]
+        rois = random_boxes(rng, b * n, size=50.0).reshape(b, n, 4)
+        levels = rng.randint(0, 2, (b, n)).astype(np.int32)
+        got_box, got_mask = multilevel_roi_align_train(
+            feats, jnp.asarray(rois), jnp.asarray(levels), n_pos,
+            (7, 7), (14, 14), scales,
+        )
+        bi = np.repeat(np.arange(b, dtype=np.int32), n)
+        want_box = ops.multilevel_roi_align(
+            feats, jnp.asarray(rois.reshape(-1, 4)), jnp.asarray(bi),
+            jnp.asarray(levels.reshape(-1)), (7, 7), scales,
+        )
+        pos_bi = np.repeat(np.arange(b, dtype=np.int32), n_pos)
+        want_mask = ops.multilevel_roi_align(
+            feats, jnp.asarray(rois[:, :n_pos].reshape(-1, 4)),
+            jnp.asarray(pos_bi),
+            jnp.asarray(levels[:, :n_pos].reshape(-1)), (14, 14), scales,
+        )
+        np.testing.assert_allclose(got_box, want_box, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_mask, want_mask, rtol=1e-4, atol=1e-4)
+
     def test_gradients_flow_to_features(self, rng):
         import jax
 
