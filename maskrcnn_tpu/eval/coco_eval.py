@@ -130,12 +130,17 @@ def evaluate_coco(
             dt_m = np.asarray(pred_masks[i])[p_sel]
             gt_m = np.asarray(gt_masks[i])[g_sel]
             crowd = np.asarray(gt_crowd[i])[g_sel]
+            def area_of(m, k):
+                # an empty selection can arrive as shape (0,) (indexing an
+                # empty per-image mask list), where reshape(0, -1) is invalid
+                if k == 0:
+                    return np.zeros(0, np.float64)
+                return m.reshape(k, -1).sum(axis=1).astype(np.float64)
+
             by_img_cls[(i, int(cls))] = dict(
                 scores=np.asarray(pred_scores[i])[p_sel],
-                dt_area=dt_m.reshape(len(p_sel), -1).sum(axis=1).astype(
-                    np.float64),
-                gt_area=gt_m.reshape(len(g_sel), -1).sum(axis=1).astype(
-                    np.float64),
+                dt_area=area_of(dt_m, len(p_sel)),
+                gt_area=area_of(gt_m, len(g_sel)),
                 crowd=crowd,
                 iou=mask_iou_crowd(dt_m, gt_m, crowd),
             )

@@ -32,6 +32,37 @@ import jax
 import jax.numpy as jnp
 
 
+class Deconv2x2(nn.Module):
+    """2×2 stride-2 transposed conv as einsum + depth-to-space.
+
+    Bit-identical to ``nn.ConvTranspose(features, (2, 2), strides=(2, 2))``
+    with the same param names/shapes (drop-in for checkpoints and the
+    chainer converter): kernel size == stride means output 2×2 blocks tile
+    disjointly, so ``out[n, 2i+di, 2j+dj, o] = Σc x[n,i,j,c]·K[1−di,1−dj,c,o]``
+    — one matmul + a reshape. XLA:CPU lowers the transposed-conv gradient to
+    a scalar base-dilated convolution (8.5 s/step of the tiny train step on
+    one core); this form is a plain dot_general everywhere, and on TPU it is
+    straight MXU work with no dilation handling.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, c_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype
+        k = kernel[::-1, ::-1].astype(dt)  # ConvTranspose applies K flipped
+        n, h, w, _ = x.shape
+        y = jnp.einsum("nhwc,ijco->nhiwjo", x.astype(dt), k)
+        y = y.reshape(n, h * 2, w * 2, self.features)
+        return y + bias.astype(dt)
+
+
 class BoxBranch(nn.Module):
     """Shared box branch: conv3×3(256)+relu → fc1024 → fc1024 → loc/score."""
 
@@ -73,8 +104,7 @@ class MaskBranch(nn.Module):
         for i in range(self.n_convs):
             h = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
                                 name=f"mask{i + 1}")(h))
-        h = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt,
-                             name="deconv1")(h)
+        h = Deconv2x2(256, dtype=dt, name="deconv1")(h)
         # Reference applies conv2 directly on the deconv output (no relu).
         # Explicit params so the full and class-gathered paths share them.
         c_in = h.shape[-1]
@@ -132,8 +162,7 @@ class KeypointBranch(nn.Module):
         for i in range(self.n_convs):
             h = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
                                 name=f"mask{i + 1}")(h))
-        h = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt,
-                             name="deconv1")(h)
+        h = Deconv2x2(256, dtype=dt, name="deconv1")(h)
         h = nn.Conv(self.n_keypoints, (1, 1), dtype=dt, name="conv2")(h)
         h = h.astype(jnp.float32)
         r, hh, ww, c = h.shape

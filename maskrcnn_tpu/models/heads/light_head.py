@@ -24,6 +24,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from maskrcnn_tpu.models.heads.fpn_heads import Deconv2x2
 import jax.numpy as jnp
 
 
@@ -68,8 +70,7 @@ class LightHead(nn.Module):
         self.conv2 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
         self.conv3 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
         self.conv4 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
-        self.deconv1 = nn.ConvTranspose(self.n_class - 1, (2, 2),
-                                        strides=(2, 2), dtype=self.dtype)
+        self.deconv1 = Deconv2x2(self.n_class - 1, dtype=self.dtype)
 
     def thin_map(self, feature: jnp.ndarray) -> jnp.ndarray:
         return self.thin(feature)

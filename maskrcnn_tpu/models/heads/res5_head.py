@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from maskrcnn_tpu.models.heads.fpn_heads import Deconv2x2
 import jax.numpy as jnp
 
 from maskrcnn_tpu.models.backbones.resnet import Res5Stage
@@ -35,8 +37,7 @@ class Res5Head(nn.Module):
         self.conv1 = nn.Conv(2048, (3, 3), padding=1, dtype=self.dtype)
         self.cls_loc = nn.Dense(self.n_class * 4, dtype=self.dtype)
         self.score = nn.Dense(self.n_class, dtype=self.dtype)
-        self.deconv1 = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
-                                        dtype=self.dtype)
+        self.deconv1 = Deconv2x2(256, dtype=self.dtype)
         self.conv2 = nn.Conv(self.n_class - 1, (3, 3), padding=1,
                              dtype=self.dtype)
 

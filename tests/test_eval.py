@@ -310,3 +310,31 @@ def test_predict_mask_levels_refined_runs(monkeypatch):
                                np.asarray(det_rf.boxes), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(det_p1.scores),
                                np.asarray(det_rf.scores), rtol=1e-6)
+
+
+def test_coco_eval_empty_per_image_arrays():
+    """A class present only in predictions (or only in GT) on an image whose
+    other side is a size-0 array must not crash the area computation
+    (regression: reshape(0, -1) on a (0,)-shaped selection)."""
+    from maskrcnn_tpu.eval.coco_eval import evaluate_coco
+
+    H = W = 32
+    m = np.zeros((1, H, W), bool)
+    m[0, 4:12, 4:12] = True
+    # image 0: one GT of class 0, no detections at all (empty arrays)
+    # image 1: one detection of class 1, no GT at all
+    rep = evaluate_coco(
+        pred_masks=[np.zeros((0, H, W), bool), m],
+        pred_labels=[np.zeros(0, np.int64), np.array([1])],
+        pred_scores=[np.zeros(0), np.array([0.9])],
+        gt_masks=[m, np.zeros((0, H, W), bool)],
+        gt_labels=[np.array([0]), np.zeros(0, np.int64)],
+        n_class=2,
+    )
+    assert rep["AP"] == pytest.approx(0.0)
+    # and with fully empty LIST-shaped inputs (asarray gives shape (0,))
+    rep2 = evaluate_coco(
+        pred_masks=[[]], pred_labels=[[]], pred_scores=[[]],
+        gt_masks=[[m[0]]], gt_labels=[[0]], n_class=1,
+    )
+    assert rep2["AP"] == pytest.approx(0.0)
