@@ -55,9 +55,9 @@ SLOW_SUSPECT_FACTOR = 1.5  # measured/expected step-time ratio
 _EXPECTED_STEP_MS = {
     # fpn_mask carries the reference's full proposal budgets (12000/2000)
     # since round 3; `fast` is the trimmed-budget (2000/1000) variant.
-    ("fpn_mask", 800, 1024, 8, "bfloat16", "train"): 208.0,
-    ("fast", 800, 1024, 8, "bfloat16", "train"): 192.0,
-    ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 850.0,
+    ("fpn_mask", 800, 1024, 8, "bfloat16", "train"): 161.0,
+    ("fast", 800, 1024, 8, "bfloat16", "train"): 150.0,
+    ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 660.0,
     ("fpn_mask", 800, 1024, 8, "float32", "train"): 480.0,
 }
 
