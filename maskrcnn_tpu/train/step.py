@@ -227,8 +227,15 @@ def make_train_step(cfg: Config, model: MaskRCNN,
                 return (g_acc, new_bs_i), bd_i
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
+            # XLA:CPU lowers convolutions inside scan bodies off its fast
+            # (Eigen-thunk) path — a tiny micro-step runs ~20× slower than
+            # the same graph at top level. Unrolling restores the fast path
+            # on CPU (test/dev backend); on TPU the rolled scan is kept for
+            # its bounded activation memory (the reason grad-accum exists).
+            unroll = accum if jax.default_backend() == "cpu" else 1
             (g_sum, new_bs), bds = jax.lax.scan(
-                body, (zeros, state.batch_stats), (batch_r, keys)
+                body, (zeros, state.batch_stats), (batch_r, keys),
+                unroll=unroll,
             )
             grads = jax.tree.map(lambda g: g / accum, g_sum)
             bd = jax.tree.map(lambda x: jnp.mean(x, axis=0), bds)

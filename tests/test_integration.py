@@ -22,7 +22,7 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def learnable_coco(tmp_path_factory):
-    """A real-schema COCO dir whose content is learnable in ~50 tiny steps:
+    """A real-schema COCO dir whose content is learnable in ~30 tiny steps:
     bright class-colored rectangles on dark backgrounds."""
     import cv2
 
@@ -70,7 +70,7 @@ def _run_cli(out, coco_root, iterations, extra=()):
         "--preset", "tiny_test", "--dataset", "coco",
         "--coco-root", coco_root, "--coco-split", "val",
         "--out", out, "--iterations", str(iterations),
-        "--snapshot-every", "20", "--log-every", "20", "--seed", "7",
+        "--snapshot-every", "16", "--log-every", "16", "--seed", "7",
         *extra,
     ])
 
@@ -86,30 +86,30 @@ def test_train_resume_eval_end_to_end(learnable_coco, tmp_path):
     out_full = str(tmp_path / "full")
     out_resumed = str(tmp_path / "resumed")
 
-    # uninterrupted run: 0 → 40, checkpoints at 20 and 40
-    _run_cli(out_full, learnable_coco, 40)
-    assert os.path.isdir(os.path.join(out_full, "checkpoints", "step_00000020"))
-    assert os.path.isdir(os.path.join(out_full, "checkpoints", "step_00000040"))
+    # uninterrupted run: 0 → 32, checkpoints at 16 and 32
+    _run_cli(out_full, learnable_coco, 32)
+    assert os.path.isdir(os.path.join(out_full, "checkpoints", "step_00000016"))
+    assert os.path.isdir(os.path.join(out_full, "checkpoints", "step_00000032"))
     # the CLI persisted its effective config (save_args equivalent)
     with open(os.path.join(out_full, "args.json")) as f:
         assert json.load(f)["config"]["train"]["epoch_size"] == 6
 
-    # interrupted run: copy ONLY the step-20 checkpoint, resume → 40
+    # interrupted run: copy ONLY the step-16 checkpoint, resume → 32
     os.makedirs(os.path.join(out_resumed, "checkpoints"))
     shutil.copytree(
-        os.path.join(out_full, "checkpoints", "step_00000020"),
-        os.path.join(out_resumed, "checkpoints", "step_00000020"),
+        os.path.join(out_full, "checkpoints", "step_00000016"),
+        os.path.join(out_resumed, "checkpoints", "step_00000016"),
     )
-    _run_cli(out_resumed, learnable_coco, 40, extra=("--resume",))
+    _run_cli(out_resumed, learnable_coco, 32, extra=("--resume",))
 
     # exact resume: identical final state (params, opt state, PRNG, step)
     cfg = cfg_lib.tiny_test()
     model, variables = init_model(cfg, jax.random.key(7))
     template = create_train_state(cfg, variables, jax.random.key(8))
     s_full = restore_checkpoint(
-        os.path.join(out_full, "checkpoints", "step_00000040"), template)
+        os.path.join(out_full, "checkpoints", "step_00000032"), template)
     s_res = restore_checkpoint(
-        os.path.join(out_resumed, "checkpoints", "step_00000040"), template)
+        os.path.join(out_resumed, "checkpoints", "step_00000032"), template)
     def leaves(state):
         out = []
         for x in jax.tree.leaves(state):

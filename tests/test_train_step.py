@@ -1,5 +1,9 @@
 """End-to-end train-step tests: the minimum slice from SURVEY §7 —
-darknet backbone + RPN + FPN mask head, batch 2, synthetic data, one jit."""
+darknet backbone + RPN + FPN mask head, batch 2, synthetic data, one jit.
+
+All tests here share the one tiny_test train-step compile; variants that
+need their own full-model compile live in test_train_variants.py /
+test_c4_res5.py so each file finishes standalone on a cold compile cache."""
 
 import jax
 import jax.numpy as jnp
@@ -47,47 +51,11 @@ class TestTrainStep:
         assert np.isfinite(last)
         assert last < first, (first, last)
 
-    def test_grad_accum_step_runs_and_learns(self):
-        """grad_accum_steps=2 on batch 2 (micro-batch 1): finite losses,
-        deterministic, and still overfits the batch — the single-chip
-        path to batch ≥ 32 at full resolution (VERDICT round-1 #8)."""
-        cfg = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(grad_accum_steps=2))
-        model, variables = init_model(cfg, jax.random.key(0))
-        state = create_train_state(cfg, variables, jax.random.key(1))
-        step = make_train_step(cfg, model)
-        batch = _to_device(SyntheticDetectionData(cfg).batch(0))
-
-        s1, m1 = step(state, batch)
-        assert np.isfinite(float(m1["loss"])) and int(s1.step) == 1
-        first = float(m1["loss"])
-        s = s1
-        for _ in range(7):
-            s, m = step(s, batch)
-        assert float(m["loss"]) < first, (first, float(m["loss"]))
-
     def test_grad_accum_requires_divisible_batch(self):
         cfg = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(grad_accum_steps=3))
         model, variables = init_model(cfg, jax.random.key(0))
         with pytest.raises(ValueError, match="divisible"):
             make_train_step(cfg, model)
-
-    def test_keypoint_step_runs(self):
-        cfg = cfg_lib.darknet_keypoint(n_keypoints=8)
-        # shrink to test scale
-        cfg = cfg_lib._rep(
-            cfg,
-            train=dict(batch_size=2, image_size=(128, 160), max_gt=4,
-                       gt_mask_size=56),
-            proposals=dict(n_train_pre_nms=256, n_train_post_nms=32),
-            sampler=dict(n_sample=16),
-        )
-        model, variables = init_model(cfg, jax.random.key(0))
-        state = create_train_state(cfg, variables, jax.random.key(1))
-        step = make_train_step(cfg, model)
-        data = SyntheticDetectionData(cfg)
-        state, metrics = step(state, _to_device(data.batch(0)))
-        for name, v in metrics.items():
-            assert np.isfinite(float(v)), f"{name} not finite"
 
     def test_gradients_reach_backbone(self):
         cfg = cfg_lib.tiny_test()
@@ -117,36 +85,3 @@ class TestTrainStep:
         assert not np.allclose(np.asarray(b0), np.asarray(a0))
 
 
-@pytest.mark.slow
-def test_c4_res5_train_and_predict():
-    """The C4+Res5 config (per-class locs, single level) trains one step and
-    predicts with finite outputs — exercises the per-class decode path."""
-    from maskrcnn_tpu import config as cfg_lib
-    from maskrcnn_tpu.eval import make_predict_fn
-
-    cfg = cfg_lib.c4_res5()
-    cfg = cfg_lib._rep(
-        cfg,
-        model=dict(n_fg_class=3),
-        train=dict(batch_size=1, image_size=(128, 160), max_gt=4,
-                   gt_mask_size=56),
-        proposals=dict(n_train_pre_nms=256, n_train_post_nms=32,
-                       n_test_pre_nms=128, n_test_post_nms=16),
-        sampler=dict(n_sample=16),
-        eval=dict(max_detections=8),
-    )
-    model, variables = init_model(cfg, jax.random.key(0))
-    state = create_train_state(cfg, variables, jax.random.key(1))
-    step = make_train_step(cfg, model)
-    data = SyntheticDetectionData(cfg)
-    state, metrics = step(state, _to_device(data.batch(0)))
-    assert np.isfinite(float(metrics["loss"]))
-
-    predict = make_predict_fn(cfg, model)
-    b = data.batch(1)
-    det = predict({"params": state.params, "batch_stats": state.batch_stats},
-                  jnp.asarray(b.images), jnp.asarray(b.img_hw),
-                  jnp.asarray(b.scale))
-    assert det.boxes.shape == (1, 8, 4)
-    assert bool(jnp.isfinite(det.boxes).all())
-    assert det.masks.shape[2:] == (14, 14)
