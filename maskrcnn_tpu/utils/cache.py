@@ -8,7 +8,30 @@ seconds. Opt-out by pointing JAX_COMPILATION_CACHE_DIR somewhere yourself
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Short fingerprint of the host CPU's feature set.
+
+    XLA:CPU AOT results embed the *compiling* host's machine features, and
+    jax's cache key does not — a cache populated on one machine can feed a
+    differently-featured host code that warns (cpu_aot_loader) or SIGILLs.
+    Salting the cache dir with the feature flags keeps each host class in
+    its own namespace. TPU executables are host-independent, but the suite
+    and CLIs compile for CPU too, so the salt covers both."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
@@ -19,7 +42,8 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     import jax
 
     path = path or os.path.join(
-        os.path.expanduser("~"), ".cache", "maskrcnn_tpu_xla"
+        os.path.expanduser("~"), ".cache", "maskrcnn_tpu_xla",
+        _host_fingerprint(),
     )
     try:
         os.makedirs(path, exist_ok=True)

@@ -38,10 +38,14 @@ def _worker(process_id: int, num_processes: int, port: int,
             coco_root: str) -> None:
     import jax
 
+    # generous init window: on a 1-core host under full-suite load the
+    # second worker can be starved for minutes before it reaches the
+    # coordinator barrier (observed flake with the 5-min default).
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=900,
     )
     assert jax.process_count() == num_processes
     assert len(jax.local_devices()) == 4
