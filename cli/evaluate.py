@@ -35,6 +35,11 @@ def main(argv=None):
                    help="comma-separated COCO category names (OR image "
                         "filter, reference coco_dataset.py:30-39)")
     p.add_argument("--out", default=None, help="write report JSON here")
+    p.add_argument("--dump-results", default=None, metavar="PATH",
+                   help="also write a standard COCO results JSON (segm "
+                        "format, pycocotools loadRes-compatible) over the "
+                        "whole --dataset coco split — score offline with "
+                        "real pycocotools to check AP parity")
     args = p.parse_args(argv)
 
     import jax
@@ -91,6 +96,16 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
+
+    if args.dump_results:
+        if args.dataset != "coco":
+            raise SystemExit("--dump-results requires --dataset coco "
+                             "(needs real image ids / category ids)")
+        from maskrcnn_tpu.eval.export import export_coco_results
+
+        n = export_coco_results(cfg, model, variables, loader,
+                                args.dump_results)
+        print(f"wrote {n} detections to {args.dump_results}")
 
 
 if __name__ == "__main__":

@@ -338,3 +338,43 @@ def test_coco_eval_empty_per_image_arrays():
         gt_masks=[[m[0]]], gt_labels=[[0]], n_class=1,
     )
     assert rep2["AP"] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# COCO results export: RLE encoder (pycocotools rleToString semantics)
+
+
+class TestRLEEncode:
+    def test_roundtrip_random_masks(self, rng):
+        from maskrcnn_tpu.data.coco import _rle_decode_np
+        from maskrcnn_tpu.eval.export import rle_encode
+
+        for trial in range(8):
+            h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+            m = rng.rand(h, w) < rng.rand()
+            rle = rle_encode(m)
+            assert rle["size"] == [h, w]
+            back = _rle_decode_np(rle).astype(bool)
+            np.testing.assert_array_equal(back, m)
+
+    def test_all_ones_and_all_zeros(self):
+        from maskrcnn_tpu.data.coco import _rle_decode_np
+        from maskrcnn_tpu.eval.export import rle_encode
+
+        ones = np.ones((7, 5), bool)
+        np.testing.assert_array_equal(
+            _rle_decode_np(rle_encode(ones)).astype(bool), ones)
+        zeros = np.zeros((7, 5), bool)
+        np.testing.assert_array_equal(
+            _rle_decode_np(rle_encode(zeros)).astype(bool), zeros)
+
+    def test_known_encoding_matches_pycocotools(self):
+        """Golden value hand-stepped through pycocotools' rleToString
+        algorithm (column-major single-pixel run at (1, 0) of a 3x3 grid
+        gives counts [1, 1, 7]; each fits one 6-bit chunk with no
+        continuation: chr(48+1) chr(48+1) chr(48+7) = '117')."""
+        from maskrcnn_tpu.eval.export import rle_encode
+
+        m = np.zeros((3, 3), bool)
+        m[1, 0] = True
+        assert rle_encode(m)["counts"] == "117"

@@ -134,3 +134,28 @@ def test_train_resume_eval_end_to_end(learnable_coco, tmp_path):
         iter(loader), 3,
     )
     assert report["map"] > 0.0, report
+
+    # COCO results export: loadRes-compatible JSON in ORIGINAL image
+    # coordinates with the annotation file's sparse category ids
+    from maskrcnn_tpu.data.coco import rle_decode
+    from maskrcnn_tpu.eval.export import export_coco_results
+
+    res_path = str(tmp_path / "results.json")
+    n_res = export_coco_results(
+        cfg, model,
+        {"params": s_full.params, "batch_stats": s_full.batch_stats},
+        loader, res_path,
+    )
+    with open(res_path) as f:
+        results = json.load(f)
+    assert len(results) == n_res > 0
+    valid_ids = set(loader.ids)
+    for r in results:
+        assert r["image_id"] in valid_ids
+        assert r["category_id"] in (7, 21)  # the fixture's sparse cat ids
+        h, w = r["segmentation"]["size"]
+        assert (h, w) == (96, 128)  # ORIGINAL resolution, not the bucket
+        m = rle_decode(r["segmentation"])
+        assert m.shape == (96, 128)
+        x, y, bw_, bh_ = r["bbox"]
+        assert 0 <= x <= 128 and 0 <= y <= 96 and bw_ >= 0 and bh_ >= 0
