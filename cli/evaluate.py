@@ -101,10 +101,16 @@ def main(argv=None):
         if args.dataset != "coco":
             raise SystemExit("--dump-results requires --dataset coco "
                              "(needs real image ids / category ids)")
-        from maskrcnn_tpu.eval.export import export_coco_results
+        if cfg.model.head == "fpn_keypoint":
+            from maskrcnn_tpu.eval.export import export_coco_keypoint_results
 
-        n = export_coco_results(cfg, model, variables, loader,
-                                args.dump_results)
+            n = export_coco_keypoint_results(cfg, model, variables, loader,
+                                             args.dump_results)
+        else:
+            from maskrcnn_tpu.eval.export import export_coco_results
+
+            n = export_coco_results(cfg, model, variables, loader,
+                                    args.dump_results)
         print(f"wrote {n} detections to {args.dump_results}")
 
 

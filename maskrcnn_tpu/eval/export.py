@@ -135,3 +135,77 @@ def export_coco_results(
     with open(out_path, "w") as f:
         json.dump(results, f)
     return len(results)
+
+
+def export_coco_keypoint_results(
+    cfg,
+    model,
+    variables,
+    loader,  # COCODetectionLoader(keypoints=True) with flip=False
+    out_path: str,
+    n_images: int | None = None,
+    score_thresh: float = 0.0,
+) -> int:
+    """COCO person-keypoints results JSON: ``keypoints`` as the flat
+    [x1, y1, v1, x2, y2, v2, ...] list in ORIGINAL image coordinates
+    (pycocotools loadRes keypoint format; v slots carry the per-keypoint
+    heatmap confidence — loadRes ignores them for scoring, which uses
+    ``score``). Returns the number of result entries."""
+    from maskrcnn_tpu.eval.postprocess import decode_keypoints
+    from maskrcnn_tpu.eval.predict import make_predict_fn
+
+    if loader.flip:
+        raise ValueError("export requires a flip=False loader")
+
+    bs = cfg.train.batch_size
+    n = len(loader.ids) if n_images is None else min(n_images,
+                                                     len(loader.ids))
+    predict_cache = {}
+
+    def predict_for(hw):
+        if hw not in predict_cache:
+            predict_cache[hw] = make_predict_fn(cfg, model, image_size=hw)
+        return predict_cache[hw]
+
+    cat_id = loader.index.cat_ids[0] if loader.index.cat_ids else 1
+    results = []
+    for start in range(0, n, bs):
+        idx = list(range(start, min(start + bs, n)))
+        pad = bs - len(idx)
+        batch = loader.batch(idx + [idx[-1]] * pad)
+        predict = predict_for(tuple(batch.images.shape[1:3]))
+        det = predict(
+            variables,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.img_hw),
+            jnp.asarray(batch.scale),
+        )
+        det = jax.device_get(det)
+        if det.heatmaps is None:
+            raise ValueError("keypoint export needs a keypoint head "
+                             f"(head={cfg.model.head!r} yields no heatmaps)")
+        for k, i in enumerate(idx):
+            img_id = loader.ids[i]
+            scale = float(batch.scale[k])
+            valid = det.valid[k] & (det.scores[k] >= score_thresh)
+            boxes0 = det.boxes[k] / scale
+            kps = decode_keypoints(boxes0, det.heatmaps[k], valid)
+            scores = det.scores[k][valid]
+            sel = boxes0[valid]
+            for d in range(len(scores)):
+                flat = []
+                for y, x, v in kps[d]:
+                    flat += [round(float(x), 2), round(float(y), 2),
+                             round(float(v), 4)]
+                y0, x0, y1, x1 = (float(v) for v in sel[d])
+                results.append({
+                    "image_id": int(img_id),
+                    "category_id": int(cat_id),
+                    "keypoints": flat,
+                    "bbox": [round(x0, 2), round(y0, 2),
+                             round(x1 - x0, 2), round(y1 - y0, 2)],
+                    "score": round(float(scores[d]), 5),
+                })
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    return len(results)
