@@ -42,6 +42,11 @@ def main(argv=None):
                         "real pycocotools to check AP parity")
     args = p.parse_args(argv)
 
+    if args.dump_results and args.dataset != "coco":
+        # validate BEFORE the (multi-minute) evaluation runs
+        p.error("--dump-results requires --dataset coco "
+                "(needs real image ids / category ids)")
+
     import jax
 
     from maskrcnn_tpu.utils import enable_compilation_cache
@@ -84,33 +89,35 @@ def main(argv=None):
             label_names = loader.index.label_names
         batches = iter(loader)
 
+    predict_cache = {}  # shared with the exporter: one compile per bucket
     if cfg.model.head == "fpn_keypoint":
         from maskrcnn_tpu.eval.evaluator import evaluate_keypoint_dataset
 
         report = evaluate_keypoint_dataset(cfg, model, variables, batches,
-                                           args.n_batches)
+                                           args.n_batches,
+                                           predict_cache=predict_cache)
     else:
         report = evaluate_dataset(cfg, model, variables, batches,
-                                  args.n_batches, label_names)
+                                  args.n_batches, label_names,
+                                  predict_cache=predict_cache)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
 
     if args.dump_results:
-        if args.dataset != "coco":
-            raise SystemExit("--dump-results requires --dataset coco "
-                             "(needs real image ids / category ids)")
         if cfg.model.head == "fpn_keypoint":
             from maskrcnn_tpu.eval.export import export_coco_keypoint_results
 
             n = export_coco_keypoint_results(cfg, model, variables, loader,
-                                             args.dump_results)
+                                             args.dump_results,
+                                             predict_cache=predict_cache)
         else:
             from maskrcnn_tpu.eval.export import export_coco_results
 
             n = export_coco_results(cfg, model, variables, loader,
-                                    args.dump_results)
+                                    args.dump_results,
+                                    predict_cache=predict_cache)
         print(f"wrote {n} detections to {args.dump_results}")
 
 

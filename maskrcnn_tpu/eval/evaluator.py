@@ -50,10 +50,16 @@ def evaluate_dataset(
     batches,  # iterable of Batch with gt_masks present
     n_batches: int,
     label_names: list[str] | None = None,
+    predict_cache: dict | None = None,
 ) -> dict:
-    """Runs the two-pass predict over ``n_batches`` and computes mask mAP."""
+    """Runs the two-pass predict over ``n_batches`` and computes mask mAP.
+
+    ``predict_cache`` (image_size → compiled predict fn) can be shared with
+    the results exporters so one process compiles predict once per bucket.
+    """
     # multi-bucket input yields mixed static shapes: one predict per bucket
-    predict_cache = {}
+    if predict_cache is None:
+        predict_cache = {}
 
     def predict_for(hw):
         if hw not in predict_cache:
@@ -125,13 +131,15 @@ def evaluate_keypoint_dataset(
     variables,
     batches,  # iterable of Batch with gt_keypoints present
     n_batches: int,
+    predict_cache: dict | None = None,
 ) -> dict:
     """OKS keypoint AP over a dataset (new capability — the reference trains
     keypoint models but never evaluates them, SURVEY §2 #21)."""
     from maskrcnn_tpu.eval.keypoint_eval import eval_keypoints_oks_ap
     from maskrcnn_tpu.eval.postprocess import decode_keypoints
 
-    predict_cache = {}
+    if predict_cache is None:
+        predict_cache = {}
 
     def predict_for(hw):
         if hw not in predict_cache:

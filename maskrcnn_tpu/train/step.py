@@ -16,6 +16,7 @@ under ``jax.jit`` with sharded batch inputs over a Mesh — see
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -232,7 +233,11 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             # the same graph at top level. Unrolling restores the fast path
             # on CPU (test/dev backend); on TPU the rolled scan is kept for
             # its bounded activation memory (the reason grad-accum exists).
-            unroll = accum if jax.default_backend() == "cpu" else 1
+            # MASKRCNN_ROLLED_ACCUM=1 forces the rolled (production-TPU)
+            # variant so CPU tests can cover that path too.
+            force_rolled = os.environ.get("MASKRCNN_ROLLED_ACCUM") == "1"
+            unroll = (accum if jax.default_backend() == "cpu"
+                      and not force_rolled else 1)
             (g_sum, new_bs), bds = jax.lax.scan(
                 body, (zeros, state.batch_stats), (batch_r, keys),
                 unroll=unroll,

@@ -17,21 +17,27 @@ def _host_fingerprint() -> str:
 
     XLA:CPU AOT results embed the *compiling* host's machine features, and
     jax's cache key does not — a cache populated on one machine can feed a
-    differently-featured host code that warns (cpu_aot_loader) or SIGILLs.
-    Salting the cache dir with the feature flags keeps each host class in
-    its own namespace. TPU executables are host-independent, but the suite
-    and CLIs compile for CPU too, so the salt covers both."""
+    differently-featured host code that can SIGILL. Salting the cache dir
+    with the feature flags keeps each host class in its own namespace. TPU
+    executables are host-independent, but the suite and CLIs compile for
+    CPU too, so the salt covers both. (Note: jax 0.9.0's cpu_aot_loader
+    prints a feature-mismatch warning even for same-host entries because
+    XLA appends pseudo-features like +prefer-no-scatter at compile time
+    that host detection never reports — that warning is cosmetic and not
+    what this salt addresses.)"""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 exposes "flags", aarch64 exposes "Features"
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     return hashlib.sha1(flags.encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+    ident = f"{platform.machine()}-{platform.processor()}"
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:

@@ -36,3 +36,32 @@ def test_grad_accum_step_runs_and_learns():
     for _ in range(7):
         s, m = step(s, batch)
     assert float(m["loss"]) < first, (first, float(m["loss"]))
+
+
+def test_grad_accum_rolled_scan_matches_unrolled(monkeypatch):
+    """The production-TPU rolled scan (one step, forced on CPU via
+    MASKRCNN_ROLLED_ACCUM) produces the same update as the CPU-unrolled
+    variant — keeps the rolled path covered even though CPU tests default
+    to unrolling (it is ~20× slower per step on XLA:CPU, so one step only).
+    """
+    cfg = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(grad_accum_steps=2))
+    model, variables = init_model(cfg, jax.random.key(0))
+    batch = _to_device(SyntheticDetectionData(cfg).batch(0))
+
+    def one_step():
+        state = create_train_state(
+            cfg, jax.tree.map(jnp.copy, variables), jax.random.key(1))
+        step = make_train_step(cfg, model)
+        s, m = step(state, batch)
+        return s, float(m["loss"])
+
+    monkeypatch.setenv("MASKRCNN_ROLLED_ACCUM", "1")
+    s_rolled, loss_rolled = one_step()
+    monkeypatch.delenv("MASKRCNN_ROLLED_ACCUM")
+    s_unrolled, loss_unrolled = one_step()
+
+    assert loss_rolled == pytest.approx(loss_unrolled, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s_rolled.params),
+                    jax.tree.leaves(s_unrolled.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
