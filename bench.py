@@ -59,6 +59,9 @@ _EXPECTED_STEP_MS = {
     ("fast", 800, 1024, 8, "bfloat16", "train"): 150.0,
     ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 660.0,
     ("fpn_mask", 800, 1024, 8, "float32", "train"): 480.0,
+    # predict p50 (two-pass, batch 1) on one healthy v5e
+    ("fpn_mask", 800, 1024, 1, "bfloat16", "predict"): 37.0,
+    ("light_head", 608, 800, 1, "bfloat16", "predict"): 32.0,
 }
 
 
@@ -216,6 +219,14 @@ def main():
             "p90_ms": round(p90, 2),
             **meta,
         }
+        expected = _EXPECTED_STEP_MS.get(
+            (args.preset, args.height, args.width, args.batch, args.dtype,
+             "predict")
+        )
+        # same LOW-side validation as train mode: a p50 far above the
+        # recorded v5e latency means a regression, a degraded tunnel, or a
+        # non-TPU platform — all worth a flag on the headline line
+        _validate(record, None, None, p50, p50, expected)
         print(json.dumps(record))
         return
 
