@@ -161,6 +161,9 @@ def main():
                    choices=[None, "float32", "bfloat16"],
                    help="SGD momentum buffer dtype (bfloat16 halves "
                         "optimizer HBM traffic)")
+    p.add_argument("--stem", default="s2d", choices=["s2d", "direct"],
+                   help="ResNet stem form: space-to-depth 4x4/1 (default) "
+                        "or the direct 7x7/2 conv (A/B reference)")
     args = p.parse_args()
 
     import jax
@@ -184,7 +187,7 @@ def main():
                    grad_accum_steps=grad_accum,
                    momentum_dtype=args.momentum_dtype),
         model=dict(dtype=args.dtype, roi_align=args.roi_align,
-                   remat=args.remat),
+                   remat=args.remat, stem_s2d=args.stem == "s2d"),
     )
 
     meta = _device_meta()
@@ -284,7 +287,8 @@ def main():
     # grad-accum / roi-align / momentum-dtype variants shift the step cost;
     # only validate the exact recorded configurations.
     if args.grad_accum is not None or args.roi_align != "auto" \
-            or args.remat or args.momentum_dtype is not None:
+            or args.remat or args.momentum_dtype is not None \
+            or args.stem != "s2d":
         expected = None
     _validate(record, flops, peak, chained_ms, p50_ms, expected)
     print(json.dumps(record))

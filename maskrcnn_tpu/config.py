@@ -87,6 +87,11 @@ class ModelConfig:
     # rematerialize backbone activations in the backward pass — trades
     # FLOPs for HBM, unlocking larger per-chip batches.
     remat: bool = False
+    # Space-to-depth stem conv for ResNet backbones: identical param tree
+    # and numerics (up to bf16 rounding), ~3x faster on TPU (XLA pads the
+    # direct conv's 3 input channels to the MXU lane width). Disable to A/B
+    # against the direct 7x7/2 conv.
+    stem_s2d: bool = True
     # Reproduce the reference Light-Head mask-branch bug (convs computed
     # then discarded, deconv on the raw pool — light_roi_mask_head.py:101-104).
     # Required to load the published reference checkpoint, whose deconv was

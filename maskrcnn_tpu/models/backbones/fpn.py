@@ -36,6 +36,7 @@ class FPNBackbone(nn.Module):
     channels: int = 256
     frozen_bn: bool = True
     dtype: Any = jnp.float32
+    stem_s2d: bool = True
 
     feat_strides = (4, 8, 16, 32, 64)
     spatial_scales = tuple(1.0 / s for s in feat_strides)
@@ -44,7 +45,8 @@ class FPNBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        c = ResNet50(self.frozen_bn, dt, name="resnet")(x, train)
+        c = ResNet50(self.frozen_bn, dt, stem_s2d=self.stem_s2d,
+                     name="resnet")(x, train)
 
         p5 = nn.Conv(self.channels, (1, 1), dtype=dt, name="toplayer")(c["c5"])
         p4 = nn.Conv(self.channels, (3, 3), padding=1, dtype=dt, name="conv_p4")(
@@ -69,6 +71,7 @@ class C4Backbone(nn.Module):
 
     frozen_bn: bool = True
     dtype: Any = jnp.float32
+    stem_s2d: bool = True
 
     feat_strides = (16,)
     spatial_scales = (1.0 / 16.0,)
@@ -77,7 +80,7 @@ class C4Backbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = ResNet50(self.frozen_bn, self.dtype, include_c5=False,
-                     name="resnet")(x, train)
+                     stem_s2d=self.stem_s2d, name="resnet")(x, train)
         return [c["c4"]]
 
 
@@ -115,11 +118,11 @@ class DarknetBackbone(nn.Module):
 
 
 def build_backbone(name: str, channels: int, frozen_bn: bool, dtype,
-                   remat: bool = False) -> nn.Module:
+                   remat: bool = False, stem_s2d: bool = True) -> nn.Module:
     if name == "fpn":
-        cls, args = FPNBackbone, (channels, frozen_bn, dtype)
+        cls, args = FPNBackbone, (channels, frozen_bn, dtype, stem_s2d)
     elif name == "c4":
-        cls, args = C4Backbone, (frozen_bn, dtype)
+        cls, args = C4Backbone, (frozen_bn, dtype, stem_s2d)
     elif name == "darknet":
         cls, args = DarknetBackbone, (dtype,)
     else:

@@ -91,7 +91,8 @@ class MaskRCNN(nn.Module):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
         self.extractor = build_backbone(m.backbone, m.fpn_channels,
-                                        m.freeze_bn, dtype, m.remat)
+                                        m.freeze_bn, dtype, m.remat,
+                                        m.stem_s2d)
         self.rpn_head = RPNHead(
             mid_channels=256,
             n_anchor=len(self.cfg.anchors.ratios),

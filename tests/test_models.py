@@ -189,3 +189,23 @@ def test_res5_head_shapes():
     assert locs.shape == (3, 16)   # per-class 4*n_class
     assert scores.shape == (3, 4)
     assert mask.shape == (3, 14, 14, 3)
+
+
+def test_stem_s2d_matches_direct_conv():
+    """The space-to-depth stem computes the same sums as the direct 7x7/2
+    conv (same param tree: one (7,7,3,64) kernel under conv1/kernel)."""
+    from maskrcnn_tpu.models.backbones.resnet import ResNet50
+
+    x = jax.random.normal(jax.random.key(0), (2, 64, 96, 3), jnp.float32)
+    direct = ResNet50(stem_s2d=False, include_c5=False)
+    s2d = ResNet50(stem_s2d=True, include_c5=False)
+    v = direct.init(jax.random.key(1), x)
+    # identical param trees: the s2d stem reuses conv1/kernel verbatim
+    v2 = s2d.init(jax.random.key(1), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    assert v["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    out_a = direct.apply(v, x)
+    out_b = s2d.apply(v, x)
+    for k in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_a[k]), np.asarray(out_b[k]), rtol=2e-5, atol=2e-5)
