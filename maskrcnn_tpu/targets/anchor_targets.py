@@ -69,7 +69,9 @@ def anchor_targets(
     pos_ratio: float = 0.5,
 ) -> AnchorTargets:
     b = gt_boxes.shape[0]
-    keys = jax.random.split(key, b)
+    # single key → split per image; (B,) key batch → use as-is (see
+    # proposal_targets — keeps grad-accum sampling split-invariant).
+    keys = key if key.ndim == 1 else jax.random.split(key, b)
 
     def per_image(k, gt_i, gt_valid_i, hw_i):
         inside = (

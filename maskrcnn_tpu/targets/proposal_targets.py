@@ -66,7 +66,11 @@ def proposal_targets(
 ) -> ProposalTargets:
     b, r, _ = rois.shape
     g = gt_boxes.shape[1]
-    keys = jax.random.split(key, b)
+    # ``key`` may be a single key (split per image here) or an already
+    # per-image (B,) key batch — the train step passes per-image keys
+    # derived from the GLOBAL image index so gradient accumulation draws
+    # the exact same samples as the full batch (train/step.py).
+    keys = key if key.ndim == 1 else jax.random.split(key, b)
     n_pos_cap = int(round(n_sample * pos_ratio))
     mean = jnp.asarray(loc_normalize_mean, jnp.float32)
     std = jnp.asarray(loc_normalize_std, jnp.float32)

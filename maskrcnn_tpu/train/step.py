@@ -39,7 +39,9 @@ from maskrcnn_tpu.train.state import TrainState, make_optimizer
 class Batch(NamedTuple):
     """One fixed-shape device batch. Padded everywhere; masks carry truth."""
 
-    images: jnp.ndarray  # (B, H, W, 3) float32 in [0,1]
+    images: jnp.ndarray  # (B, H, W, 3) float32 in [0,1] or uint8 in
+    #   [0,255] (MaskRCNN.extract normalizes uint8 on device — the COCO
+    #   loader ships uint8 for ¼ the host work/transfer)
     img_hw: jnp.ndarray  # (B, 2) float32 true content extent
     scale: jnp.ndarray  # (B,) resize scale (for the min-size filter)
     gt_boxes: jnp.ndarray  # (B, G, 4)
@@ -76,8 +78,13 @@ def make_train_step(cfg: Config, model: MaskRCNN,
     is_keypoint = cfg.model.head == "fpn_keypoint"
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch_stats, batch: Batch, key):
-        k_prop, k_anchor = jax.random.split(key)
+    def loss_fn(params, batch_stats, batch: Batch, img_keys):
+        # img_keys: (b, 2) per-image sampling keys, derived from the GLOBAL
+        # image index in train_step — so the micro-batches of a grad-accum
+        # scan draw the exact same proposal/anchor samples as the full
+        # batch, and the only accum-vs-full divergence left is loss
+        # normalization (bounded in tests/test_train.py).
+        k_prop, k_anchor = img_keys[:, 0], img_keys[:, 1]
         variables = {"params": params, "batch_stats": batch_stats}
 
         (features, rpn_locs, rpn_scores), mut = model.apply(
@@ -203,22 +210,31 @@ def make_train_step(cfg: Config, model: MaskRCNN,
 
     def train_step(state: TrainState, batch: Batch):
         key, new_key = jax.random.split(state.key)
+        b = cfg.train.batch_size
+        # (b, 2) per-image (proposal, anchor) sampling keys by global image
+        # index — invariant to how the batch is split into micro-batches.
+        img_keys = jax.random.split(key, b * 2).reshape(b, 2)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if accum <= 1:
             (_, (bd, new_bs)), grads = grad_fn(
-                state.params, state.batch_stats, batch, key
+                state.params, state.batch_stats, batch, img_keys
             )
         else:
             # micro-batch scan: near-identical to the full-batch gradient
             # (losses normalize by each micro-batch's own valid-row count,
             # so averaging micro-gradients differs when counts are uneven;
             # BN is frozen by default and running stats take the last
-            # micro-batch), at 1/accum the activation memory.
+            # micro-batch), at 1/accum the activation memory. Sampling is
+            # split-INVARIANT (per-image keys above), so the divergence is
+            # purely normalization (+ batch-stats on trainable-BN configs);
+            # measured bound: 0.21 relative L2 / 0.98 cosine of the SGD
+            # update on a worst-case uneven tiny_test batch
+            # (tests/test_train_variants.py::test_grad_accum_divergence_bounded).
             micro = batch.images.shape[0] // accum
             batch_r = jax.tree.map(
                 lambda x: x.reshape(accum, micro, *x.shape[1:]), batch
             )
-            keys = jax.random.split(key, accum)
+            keys = img_keys.reshape(accum, micro, 2)
 
             def body(carry, xs):
                 g_acc, bs = carry

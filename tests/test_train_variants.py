@@ -65,3 +65,73 @@ def test_grad_accum_rolled_scan_matches_unrolled(monkeypatch):
                     jax.tree.leaves(s_unrolled.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_sampler_keys_split_invariant():
+    """Per-image key batches make sampling invariant to how a batch is
+    split: rows [0:2) of a 4-image proposal_targets call equal a 2-image
+    call on the first half with the same per-image keys. This is the
+    property the grad-accum scan relies on (train/step.py img_keys)."""
+    from maskrcnn_tpu.targets import proposal_targets
+
+    rng = np.random.RandomState(0)
+    b, r, g = 4, 64, 8
+    yx = rng.uniform(0, 100, (b, r, 2, 2)).astype(np.float32)
+    rois = jnp.concatenate(
+        [jnp.minimum(yx[..., 0, :], yx[..., 1, :]),
+         jnp.maximum(yx[..., 0, :], yx[..., 1, :]) + 4.0], axis=-1)
+    roi_valid = jnp.ones((b, r), bool)
+    roi_levels = jnp.zeros((b, r), jnp.int32)
+    gt = jnp.asarray(
+        np.sort(rng.uniform(0, 100, (b, g, 2, 2)), axis=2).reshape(b, g, 4)
+        .astype(np.float32) + np.array([0, 0, 8, 8], np.float32))
+    gt_labels = jnp.asarray(rng.randint(0, 3, (b, g)), dtype=jnp.int32)
+    gt_valid = jnp.asarray(rng.rand(b, g) < 0.7)
+
+    keys = jax.random.split(jax.random.key(7), b)
+    full = proposal_targets(keys, rois, roi_valid, roi_levels,
+                            gt, gt_labels, gt_valid, n_sample=16)
+    half = proposal_targets(keys[:2], rois[:2], roi_valid[:2],
+                            roi_levels[:2], gt[:2], gt_labels[:2],
+                            gt_valid[:2], n_sample=16)
+    for a, c in zip(half, full):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c)[:2])
+
+
+def test_grad_accum_divergence_bounded():
+    """Accum=2 vs accum=1 on a deliberately UNEVEN batch (one micro-batch
+    rich in GT, the other nearly empty): with split-invariant per-image
+    sampling keys the two draws are identical, so the divergence comes
+    from (a) per-micro-batch loss normalization (losses divide by each
+    micro-batch's own valid count) and (b) this config's darknet BN using
+    per-micro-batch batch statistics (tiny_test trains BN, matching the
+    reference darknet; the flagship presets freeze BN so only (a)
+    applies there). Measured relative L2 of the one-step SGD update on
+    this worst-ish case: 0.208, cosine 0.98 — assert rel < 0.35 and
+    cosine > 0.9 so a structural regression (e.g. wrong keys per micro
+    batch) fails loudly while the documented normalization effect
+    passes."""
+    base = cfg_lib._rep(cfg_lib.tiny_test(), train=dict(batch_size=4))
+    model, variables = init_model(base, jax.random.key(0))
+    batch = _to_device(SyntheticDetectionData(base).batch(0))
+    # make counts uneven: images 2,3 keep only their first GT
+    gv = np.asarray(batch.gt_valid).copy()
+    gv[2:, 1:] = False
+    batch = batch._replace(gt_valid=jnp.asarray(gv))
+
+    def one_update(accum):
+        cfg = cfg_lib._rep(base, train=dict(grad_accum_steps=accum))
+        state = create_train_state(
+            cfg, jax.tree.map(jnp.copy, variables), jax.random.key(1))
+        step = make_train_step(cfg, model)
+        s, _ = step(state, batch)
+        return jax.tree.map(lambda n, o: np.asarray(n) - np.asarray(o),
+                            s.params, variables["params"])
+
+    u1, u2 = one_update(1), one_update(2)
+    v1 = np.concatenate([x.ravel() for x in jax.tree.leaves(u1)])
+    v2 = np.concatenate([x.ravel() for x in jax.tree.leaves(u2)])
+    rel = np.linalg.norm(v1 - v2) / max(np.linalg.norm(v1), 1e-12)
+    cos = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+    assert rel < 0.35, rel
+    assert cos > 0.9, cos
