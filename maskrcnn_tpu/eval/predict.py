@@ -29,18 +29,24 @@ TPU-native differences:
   ("refined"). Default is "pass1" for reference parity; the A/B delta is
   recorded in BASELINE.md.
 
-TWO EXECUTION PATHS, selected by ``MASKRCNN_HEALTHY_TPU``:
+TWO EXECUTION PATHS, selected by a startup PROBE (overridable by
+``MASKRCNN_HEALTHY_TPU``):
 
-- healthy (``=1``, and the default on non-TPU platforms): ONE jitted
-  executable using native gathers (``take_along_axis`` / advanced
-  indexing) — the idiomatic XLA form.
-- workaround (``=0``, and the default on TPU): FOUR jitted stages with
-  one-hot contractions instead of gathers. This environment's libtpu
-  faults ("TPU worker process crashed") when several gather lowerings or
-  the vmapped per-class NMS compile into one executable (minimal repro:
-  two fused ``take_along_axis`` on (8,79,300,·) inputs). The split costs
-  two dispatches on ~4 MB of intermediates. Both paths are asserted
-  equal on CPU in tests/test_eval.py.
+- healthy (probe passes; always on non-TPU platforms; force with ``=1``):
+  ONE jitted executable using native gathers (``take_along_axis`` /
+  advanced indexing) — the idiomatic XLA form.
+- workaround (probe fails on this TPU; force with ``=0``): FOUR jitted
+  stages with one-hot contractions instead of gathers. This
+  environment's libtpu faults ("TPU worker process crashed") when
+  several gather lowerings or the vmapped per-class NMS compile into one
+  executable (minimal repro: two fused ``take_along_axis`` on
+  (8,79,300,·) inputs). The split costs two dispatches on ~4 MB of
+  intermediates. Both paths are asserted equal on CPU in
+  tests/test_eval.py.
+
+The probe (``utils/tpu_probe.py``) runs the minimal two-gather repro in a
+subprocess once per (jax, jaxlib, device kind) and caches the verdict, so
+healthy TPUs automatically get the single-jit path.
 
 The per-class NMS batch loop stays ``lax.map`` (sequential) on BOTH paths:
 a batch-vmapped form materializes (B, n_fg, R, R) IoU tensors — 4.5 GB at
@@ -85,7 +91,15 @@ def _use_healthy_path() -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return platform != "tpu"
+    if platform != "tpu":
+        return True
+    # On TPU: probe (once, subprocess, cached per jax/jaxlib/device-kind
+    # fingerprint) whether this libtpu survives fused gathers — see
+    # utils/tpu_probe.py. Healthy platforms get the single-jit native
+    # path automatically; the env var stays as an explicit override.
+    from maskrcnn_tpu.utils.tpu_probe import tpu_gather_healthy
+
+    return tpu_gather_healthy()
 
 
 def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):

@@ -378,3 +378,33 @@ class TestRLEEncode:
         m = np.zeros((3, 3), bool)
         m[1, 0] = True
         assert rle_encode(m)["counts"] == "117"
+
+
+class TestTpuGatherProbe:
+    """utils/tpu_probe.py — automatic healthy/workaround path selection
+    (VERDICT round-3 #5). The probe itself targets TPU, but its machinery
+    (subprocess repro, cache, override precedence) is platform-neutral."""
+
+    def test_probe_subprocess_passes_on_cpu(self):
+        from maskrcnn_tpu.utils.tpu_probe import _run_probe
+
+        assert _run_probe() is True  # CPU gathers are healthy everywhere
+
+    def test_verdict_is_cached(self, tmp_path, monkeypatch):
+        import maskrcnn_tpu.utils.tpu_probe as probe
+
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+        calls = []
+        monkeypatch.setattr(probe, "_run_probe",
+                            lambda: calls.append(1) or True)
+        assert probe.tpu_gather_healthy() is True
+        assert probe.tpu_gather_healthy() is True  # second read: cache hit
+        assert len(calls) == 1
+
+    def test_env_var_overrides_probe(self, monkeypatch):
+        from maskrcnn_tpu.eval.predict import _use_healthy_path
+
+        monkeypatch.setenv("MASKRCNN_HEALTHY_TPU", "0")
+        assert _use_healthy_path() is False
+        monkeypatch.setenv("MASKRCNN_HEALTHY_TPU", "1")
+        assert _use_healthy_path() is True
