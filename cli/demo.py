@@ -64,7 +64,9 @@ def main(argv=None):
             hw = (int(batch.img_hw[i][0]), int(batch.img_hw[i][1]))
             keep = det.valid[i] & (det.scores[i] >= args.score_thresh)
             masks = paste_masks(det.boxes[i], det.masks[i], keep, hw)
-            img = (batch.images[i][: hw[0], : hw[1]] * 255).astype(np.uint8)
+            img = np.asarray(batch.images[i][: hw[0], : hw[1]])
+            if img.dtype != np.uint8:  # loaders may ship f32 or uint8
+                img = (img * 255).astype(np.uint8)
             img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
             canvas = vis_detections(
                 img, det.boxes[i][keep], det.labels[i][keep],

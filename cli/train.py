@@ -86,6 +86,10 @@ def parse_args(argv=None):
                    help="comma-separated HxW static padding buckets, e.g. "
                         "'800x1024,1024x800'; each image goes to its "
                         "least-waste bucket (one compiled step per bucket)")
+    p.add_argument("--loader-workers", type=int, default=1,
+                   help="decode threads per batch (reference: "
+                        "MultithreadIterator n_threads, train.py:124-126); "
+                        "tools/bench_loader.py measures the scaling")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-20")
     p.add_argument("--seed", type=int, default=0)
@@ -207,7 +211,10 @@ def main(argv=None):
 
     # step-pure stream: on resume the loader seeks to the resumed step so
     # the run sees exactly the batches an uninterrupted run would
-    batches = data.iter_from(start)
+    try:
+        batches = data.iter_from(start, n_workers=args.loader_workers)
+    except TypeError:  # synthetic/depth streams take no worker count
+        batches = data.iter_from(start)
 
     # overlap host data prep with device steps (reference
     # MultithreadIterator equivalent)
@@ -334,6 +341,11 @@ def main(argv=None):
             scalars = {k: float(v) for k, v in metrics.items()}
             if hasattr(data, "padding_waste"):
                 scalars["padding_waste"] = data.padding_waste()
+            # input-bound diagnostic: fraction of batch fetches that found
+            # the prefetch queue empty (≈1.0 ⇒ the host pipeline is the
+            # bottleneck; raise --loader-workers)
+            scalars["prefetch_starved"] = (
+                batches.starved / max(batches.served, 1))
             logger.log(step_i, scalars,
                        n_images=cfg.train.batch_size * args.log_every,
                        lr=float(sched(step_i)))

@@ -152,6 +152,9 @@ class COCODetectionLoader:
         self._order_cache: tuple[int, np.ndarray] | None = None
         self._waste_sum = 0.0
         self._waste_n = 0
+        import threading
+
+        self._waste_lock = threading.Lock()  # get_example runs on a pool
         if self.keypoints:
             # flip must also permute left/right joint rows, not just mirror x
             from maskrcnn_tpu.data.keypoints import (
@@ -239,15 +242,20 @@ class COCODetectionLoader:
         scale = min(scale, bh / h0, bw / w0)
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        self._waste_sum += 1.0 - (nh * nw) / float(bh * bw)
-        self._waste_n += 1
+        with self._waste_lock:
+            self._waste_sum += 1.0 - (nh * nw) / float(bh * bw)
+            self._waste_n += 1
 
         do_flip = self.flip and rng.rand() < 0.5
         if do_flip:
             img = img[:, ::-1]
 
-        canvas = np.zeros((bh, bw, 3), np.float32)
-        canvas[:nh, :nw] = img.astype(np.float32) / 255.0
+        # uint8 transport: ¼ the bytes of a float canvas, and the
+        # astype/÷255 (60% of host decode time on this 1-core box, see
+        # tools/bench_loader.py) moves onto the device — MaskRCNN.extract
+        # converts uint8→f32/255, numerically identical.
+        canvas = np.zeros((bh, bw, 3), np.uint8)
+        canvas[:nh, :nw] = img
 
         boxes = np.zeros((g, 4), np.float32)
         labels = np.zeros((g,), np.int32)
@@ -313,11 +321,21 @@ class COCODetectionLoader:
             gt_keypoints=kps,
         )
 
-    def batch(self, indices, rngs=None, image_size=None) -> Batch:
+    def batch(self, indices, rngs=None, image_size=None, pool=None) -> Batch:
         if rngs is None:
             rngs = [None] * len(indices)
-        ex = [self.get_example(i % len(self.ids), rng, image_size)
-              for i, rng in zip(indices, rngs)]
+        if pool is not None:
+            # thread-parallel decode (reference: MultithreadIterator,
+            # train.py:124-126) — JPEG decode / cv2.resize / fillPoly
+            # release the GIL, so threads scale without fork/spawn hazards
+            ex = list(pool.map(
+                lambda a: self.get_example(a[0] % len(self.ids), a[1],
+                                           image_size),
+                zip(indices, rngs),
+            ))
+        else:
+            ex = [self.get_example(i % len(self.ids), rng, image_size)
+                  for i, rng in zip(indices, rngs)]
         stack = lambda k: np.stack([e[k] for e in ex])
         return Batch(
             images=stack("image"),
@@ -365,7 +383,7 @@ class COCODetectionLoader:
         """Mean padded-area fraction over all examples loaded so far."""
         return self._waste_sum / max(1, self._waste_n)
 
-    def iter_from(self, step: int = 0):
+    def iter_from(self, step: int = 0, n_workers: int = 1):
         """Infinite batch stream as a PURE function of the global step.
 
         Per-epoch shuffles and per-example augmentation draws derive from
@@ -378,10 +396,20 @@ class COCODetectionLoader:
         least-waste bucket and batches are emitted per bucket as they fill;
         seeking replays the (image-dims-only) grouping without decoding
         any image.
+
+        ``n_workers > 1`` decodes a batch's examples on a thread pool
+        (reference: MultithreadIterator, train.py:124-126) — batch
+        composition and every augmentation draw are identical regardless
+        of worker count (draws come from per-example rngs).
         """
+        pool = None
+        if n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(n_workers)
         buckets = self.cfg.train.image_buckets
         if buckets and len(buckets) > 1:
-            yield from self._iter_bucketed(step)
+            yield from self._iter_bucketed(step, pool)
             return
         # a LONE bucket overrides cfg.train.image_size rather than being
         # silently dropped
@@ -393,10 +421,10 @@ class COCODetectionLoader:
             order = self._epoch_order(epoch)
             idxs = order.take(np.arange(j * b, (j + 1) * b), mode="wrap")
             rngs = [self._example_rng(epoch, int(i)) for i in idxs]
-            yield self.batch(idxs, rngs, image_size=image_size)
+            yield self.batch(idxs, rngs, image_size=image_size, pool=pool)
             step += 1
 
-    def _iter_bucketed(self, step: int):
+    def _iter_bucketed(self, step: int, pool=None):
         b = self.cfg.train.batch_size
         buckets = list(self.cfg.train.image_buckets)
         queues: list[list[tuple[int, int]]] = [[] for _ in buckets]
@@ -412,7 +440,8 @@ class COCODetectionLoader:
                     if produced >= step:
                         idxs = [g[1] for g in group]
                         rngs = [self._example_rng(e, gi) for e, gi in group]
-                        yield self.batch(idxs, rngs, image_size=buckets[bi])
+                        yield self.batch(idxs, rngs, image_size=buckets[bi],
+                                         pool=pool)
                     produced += 1
             epoch += 1
 

@@ -116,7 +116,16 @@ class MaskRCNN(nn.Module):
 
     # ---- composable stages ------------------------------------------------
     def extract(self, images: jnp.ndarray, train: bool = False):
-        """images (B, H, W, 3) → list of pyramid features (fine→coarse)."""
+        """images (B, H, W, 3) → list of pyramid features (fine→coarse).
+
+        Accepts float32 in [0, 1] or uint8 in [0, 255]: the COCO loader
+        ships uint8 (¼ the host→device bytes, and the float canvas work —
+        60% of host decode time — moves onto the chip, where the /255
+        fuses into the stem conv). uint8→f32/255 is exact, so the two
+        input forms are numerically identical.
+        """
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         return self.extractor(images, train)
 
     def rpn(self, features):
@@ -176,7 +185,7 @@ class MaskRCNN(nn.Module):
         """
         b, n = rois_bn.shape[:2]
         fused = (
-            self.cfg.model.roi_align in ("auto", "region")
+            self.cfg.model.roi_align in ("auto", "region", "fused")
             and len(features) > 1
             and not getattr(self.head, "needs_thin_map", False)
             and isinstance(self.head, (FPNMaskHead, FPNKeypointHead))
@@ -184,9 +193,16 @@ class MaskRCNN(nn.Module):
         if fused:
             sb = self.head.roi_size_box
             sm = self.head.roi_size_mask
+            # "fused" routes the region-gather VJP to the Pallas
+            # tile-accumulator scatter (round-4: XLA's scatter was the
+            # single hottest op of the train step at 18.5 GiB/s); "region"
+            # keeps the pure-XLA backward as the A/B reference. "auto"
+            # follows the measured winner per platform (see BASELINE.md).
+            use_pallas_bwd = self.cfg.model.roi_align == "fused"
             pooled_box, pooled_mask = multilevel_roi_align_train(
                 features, rois_bn, levels_bn, n_pos,
                 (sb, sb), (sm, sm), self.spatial_scales,
+                bwd_scatter="pallas" if use_pallas_bwd else "xla",
             )
             locs, scores, _ = self.head(pooled_box)
             if class_idx is not None and isinstance(self.head, FPNMaskHead):
