@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--n-keypoints", type=int, default=20)
     p.add_argument("--thresh", type=float, default=0.2)
     p.add_argument("--no-display", action="store_true")
+    p.add_argument("--benchmark", type=int, default=0, metavar="N",
+                   help="with --image: loop inference N times and print the "
+                        "EMA FPS the camera loop would show (reference "
+                        "viewer.py:117-118 prints the same running figure)")
     return p.parse_args(argv)
 
 
@@ -118,6 +122,17 @@ class Viewer:
         out = os.path.splitext(path)[0] + "_keypoints.png"
         cv2.imwrite(out, canvas)
         print(f"detections: {len(boxes)}; wrote {out}")
+        if self.args.benchmark:
+            # the camera loop's per-frame work (preprocess + predict +
+            # keypoint decode), minus the camera itself
+            for _ in range(self.args.benchmark):
+                t0 = time.time()
+                self.infer_frame(img)
+                fps = 1.0 / max(time.time() - t0, 1e-6)
+                self.fps_ema = fps if self.fps_ema is None else (
+                    0.1 * fps + 0.9 * self.fps_ema)
+            print(f"fps(EMA) over {self.args.benchmark} frames: "
+                  f"{self.fps_ema:.2f}")
 
     def run_camera(self):
         try:
