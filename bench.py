@@ -55,9 +55,11 @@ SLOW_SUSPECT_FACTOR = 1.5  # measured/expected step-time ratio
 _EXPECTED_STEP_MS = {
     # fpn_mask carries the reference's full proposal budgets (12000/2000)
     # since round 3; `fast` is the trimmed-budget (2000/1000) variant.
-    ("fpn_mask", 800, 1024, 8, "bfloat16", "train"): 161.0,
+    # round 4: auto routes the region-gather VJP to the Pallas
+    # tile-accumulator scatter on a single TPU (fused path, 140.9 ms)
+    ("fpn_mask", 800, 1024, 8, "bfloat16", "train"): 141.0,
     ("fast", 800, 1024, 8, "bfloat16", "train"): 150.0,
-    ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 660.0,
+    ("fpn_mask", 800, 1024, 32, "bfloat16", "train"): 580.0,
     ("fpn_mask", 800, 1024, 8, "float32", "train"): 480.0,
     # predict p50 (two-pass, batch 1) on one healthy v5e
     ("fpn_mask", 800, 1024, 1, "bfloat16", "predict"): 37.0,
@@ -147,7 +149,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi-align", default="auto",
-                   choices=["auto", "region", "gather", "pallas"])
+                   choices=["auto", "region", "gather", "pallas", "fused"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (bigger batches)")
     p.add_argument("--grad-accum", type=int, default=None,

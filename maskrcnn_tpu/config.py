@@ -81,8 +81,13 @@ class ModelConfig:
     freeze_bn: bool = True
     # compute dtype for conv/matmul-heavy paths; params stay float32.
     dtype: str = "float32"
+    # keypoint heatmap 2x upsample: "half_pixel" (jax.image.resize linear)
+    # or "align_corners" (chainer F.resize_images exact — parity sweeps).
+    kp_upsample: str = "half_pixel"
     # ROIAlign implementation: auto (region for FPN, gather single-level),
-    # or force region / gather / pallas (the hand-written TPU kernel).
+    # or force region / gather / pallas (the hand-written TPU kernel) /
+    # fused (region forward + Pallas tile-accumulator scatter backward —
+    # see ops/roi_align.py `_mlra_region_pair_fused`).
     roi_align: str = "auto"
     # rematerialize backbone activations in the backward pass — trades
     # FLOPs for HBM, unlocking larger per-chip batches.

@@ -75,7 +75,8 @@ def build_head(cfg: Config, dtype) -> nn.Module:
     if m.head == "fpn":
         return FPNMaskHead(m.n_class, m.n_mask_convs, dtype)
     if m.head == "fpn_keypoint":
-        return FPNKeypointHead(m.n_class, m.n_keypoints, m.n_mask_convs, dtype)
+        return FPNKeypointHead(m.n_class, m.n_keypoints, m.n_mask_convs,
+                               dtype, getattr(m, "kp_upsample", "half_pixel"))
     if m.head == "light":
         return LightHead(m.n_class, compat_mask_bug=m.compat_mask_bug,
                          dtype=dtype)
@@ -195,10 +196,20 @@ class MaskRCNN(nn.Module):
             sm = self.head.roi_size_mask
             # "fused" routes the region-gather VJP to the Pallas
             # tile-accumulator scatter (round-4: XLA's scatter was the
-            # single hottest op of the train step at 18.5 GiB/s); "region"
-            # keeps the pure-XLA backward as the A/B reference. "auto"
-            # follows the measured winner per platform (see BASELINE.md).
-            use_pallas_bwd = self.cfg.model.roi_align == "fused"
+            # single hottest op of the train step at 18.5 GiB/s; fused
+            # measured 56.8 vs 49.7 img/s end-to-end). "region" keeps the
+            # pure-XLA backward as the A/B reference. "auto" picks fused
+            # on a SINGLE-device TPU only: the data-parallel step is
+            # GSPMD-jitted (parallel/mesh.py) and a pallas_call carries no
+            # partitioning rule — multi-device autos stay on XLA until the
+            # backward is shard_map'ed.
+            import jax as _jax
+
+            use_pallas_bwd = self.cfg.model.roi_align == "fused" or (
+                self.cfg.model.roi_align == "auto"
+                and _jax.default_backend() == "tpu"
+                and len(_jax.devices()) == 1
+            )
             pooled_box, pooled_mask = multilevel_roi_align_train(
                 features, rois_bn, levels_bn, n_pos,
                 (sb, sb), (sm, sm), self.spatial_scales,

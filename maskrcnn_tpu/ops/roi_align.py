@@ -467,6 +467,7 @@ def multilevel_roi_align_train(
     spatial_scales: tuple[float, ...],
     sampling_ratio: int = 2,
     t_span: int | None = None,
+    bwd_scatter: str = "xla",  # "xla" | "pallas" (fused custom-VJP path)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Box pooling for ALL (B·n) ROI slots + mask pooling for the (B·n_pos)
     positive prefix, sharing ONE region gather (and therefore one backward
@@ -492,6 +493,15 @@ def multilevel_roi_align_train(
     if t_span is None:
         t_span = 20
     fold = 8 if all(int(wl) % 8 == 0 for wl in shapes[:, 1]) else 1
+    if bwd_scatter == "pallas" and fold == 8 and c % 128 == 0:
+        import jax as _jax
+
+        return _mlra_region_pair_fused(
+            flat, shapes, offsets, rois_bn, levels_bn, n_pos,
+            out_size_box, out_size_mask, spatial_scales, sampling_ratio,
+            t_span, fold,
+            interpret=_jax.default_backend() != "tpu",
+        )
     return _mlra_region_pair(
         flat, shapes, offsets, rois_bn, levels_bn, n_pos,
         out_size_box, out_size_mask, spatial_scales, sampling_ratio,
@@ -560,3 +570,155 @@ def _mlra_region_pair(
     reg_pos = reg_pos.reshape(b * n_pos, t, tx, c)
     pooled_mask = _kron_pool(reg_pos, by_m, bx_m)
     return pooled_box, pooled_mask
+
+
+# ---------------------------------------------------------------------------
+# Fused region pair with a custom VJP (bwd_scatter="pallas").
+#
+# Round-4 xprof of the default train step (BASELINE.md): XLA emits the
+# region-gather VJP as a scatter-add running at 18.5 GiB/s — 14 ms of a
+# 157 ms step — plus ~9 ms of autodiff plumbing around it (the cotangent
+# add of the box/mask fan-out, the mask prefix-slice pad). Wrapping the
+# WHOLE pair (gather + both Kronecker pools) in one jax.custom_vjp lets the
+# backward (a) compute both cotangent-region einsums directly, (b) merge the
+# mask stream into the box stream with one in-place prefix add, and (c) hand
+# the result to the tile-accumulator Pallas kernel
+# (kernels/region_scatter_pallas.py) instead of XLA's scatter.
+#
+# Numerics: the forward is IDENTICAL HLO to _mlra_region_pair. The backward
+# is the same math with f32 scatter accumulation (the XLA path accumulated
+# in bf16), asserted equal within bf16 tolerance in tests/test_kernels.py.
+# ---------------------------------------------------------------------------
+
+
+def _pair_geometry(shapes, offsets, rois_bn, levels_bn, n_pos,
+                   out_size_box, out_size_mask, spatial_scales,
+                   sampling_ratio, t_span, fold):
+    b, n = rois_bn.shape[:2]
+    t = t_span
+    tx = -(-(t + fold - 1) // fold) * fold if fold > 1 else t
+    rois = rois_bn.reshape(b * n, 4)
+    levels = levels_bn.reshape(b * n)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    row_ids, by_b, bx_b = region_params(
+        shapes, offsets, rois, batch_idx, levels, out_size_box,
+        spatial_scales, sampling_ratio, t_span,
+        x_align=fold, t_span_x=tx, origin="box",
+    )
+    pos_rois = rois_bn[:, :n_pos].reshape(b * n_pos, 4)
+    pos_lv = levels_bn[:, :n_pos].reshape(b * n_pos)
+    pos_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_pos)
+    _, by_m, bx_m = region_params(
+        shapes, offsets, pos_rois, pos_bi, pos_lv, out_size_mask,
+        spatial_scales, sampling_ratio, t_span,
+        x_align=fold, t_span_x=tx, origin="box",
+    )
+    return row_ids, by_b, bx_b, by_m, bx_m, tx
+
+
+def _mlra_region_pair_fused(
+    flat, shapes, offsets, rois_bn, levels_bn, n_pos,
+    out_size_box, out_size_mask, spatial_scales, sampling_ratio,
+    t_span, fold, interpret=False,
+):
+    b, n = rois_bn.shape[:2]
+    row_ids, by_b, bx_b, by_m, bx_m, tx = _pair_geometry(
+        shapes, offsets, rois_bn, levels_bn, n_pos, out_size_box,
+        out_size_mask, spatial_scales, sampling_ratio, t_span, fold)
+    base = row_ids[:, 0]
+    stride = row_ids[:, 1] - row_ids[:, 0]
+    # static halo bound for the scatter kernel: widest level stride wins
+    n_half = flat.shape[-1] // 128
+    max_stride = int(shapes[:, 1].max())
+    halo = (t_span - 1) * max_stride * n_half + tx * n_half
+    # base/stride travel as float32 so custom_vjp can return plain zero
+    # cotangents (int primals would demand float0 bookkeeping)
+    return _fused_pair_core(
+        flat, by_b, bx_b, by_m, bx_m,
+        base.astype(jnp.float32), stride.astype(jnp.float32),
+        b, n, n_pos, t_span, tx, fold, halo, interpret,
+        int(flat.shape[0]), str(flat.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+def _fused_pair_core(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
+                     b, n, n_pos, t, tx, fold, halo, interpret,
+                     s_total, flat_dtype):
+    out, _ = _fused_pair_fwd(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
+                             b, n, n_pos, t, tx, fold, halo, interpret,
+                             s_total, flat_dtype)
+    return out
+
+
+def _fused_pair_fwd(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
+                    b, n, n_pos, t, tx, fold, halo, interpret,
+                    s_total, flat_dtype):
+    c = flat.shape[-1]
+    base = base_f.astype(jnp.int32)
+    stride = stride_f.astype(jnp.int32)
+    ff = flat.reshape(flat.shape[0] // fold, fold * c)
+    txf = tx // fold
+
+    def fetch(base_i, stride_i):
+        idx = ((base_i + jnp.arange(t, dtype=jnp.int32) * stride_i)[:, None]
+               // fold + jnp.arange(txf, dtype=jnp.int32)[None, :])
+        return ff[jnp.clip(idx, 0, ff.shape[0] - 1)].reshape(t, tx, c)
+
+    regions = jax.vmap(fetch)(base, stride)  # (B·n, t, tx, C)
+    pooled_box = _kron_pool(regions, by_b, bx_b)
+    reg_pos = regions.reshape(b, n, t, tx, c)[:, :n_pos]
+    pooled_mask = _kron_pool(reg_pos.reshape(b * n_pos, t, tx, c), by_m, bx_m)
+    res = (by_b, bx_b, by_m, bx_m, base, stride)
+    return (pooled_box, pooled_mask), res
+
+
+def _fused_pair_bwd(b, n, n_pos, t, tx, fold, halo, interpret,
+                    s_total, flat_dtype, res, g):
+    from maskrcnn_tpu.kernels.region_scatter_pallas import scatter_add_regions
+
+    by_b, bx_b, by_m, bx_m, base, stride = res
+    flat_dtype = jnp.dtype(flat_dtype)
+    g_box, g_mask = g
+    r, ohb, owb, c = g_box.shape
+    ohm, owm = g_mask.shape[1:3]
+    cd = jnp.bfloat16 if flat_dtype == jnp.bfloat16 else jnp.float32
+
+    def d_regions(by, bx, gg, oh, ow):
+        rr = gg.shape[0]
+        b2 = jnp.einsum("ryt,rxw->ryxtw", by, bx).reshape(
+            rr, oh * ow, t * tx).astype(cd)
+        return jnp.einsum(
+            "rpk,rpc->rkc", b2, gg.reshape(rr, oh * ow, c).astype(cd),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)  # (rr, t·tx, C)
+
+    d_reg = d_regions(by_b, bx_b, g_box, ohb, owb)
+    d_reg_m = d_regions(by_m, bx_m, g_mask, ohm, owm)
+    # the mask branch read the (B, :n_pos) prefix of the SAME regions:
+    # merge its cotangent with one in-place prefix add (replaces the pad +
+    # cotangent-add pair XLA autodiff emits)
+    d_reg = (
+        d_reg.reshape(b, n, t * tx, c)
+        .at[:, :n_pos]
+        .add(d_reg_m.reshape(b, n_pos, t * tx, c))
+        .reshape(r, t * tx, c)
+    )
+
+    n_half = c // 128
+    d_flat2 = scatter_add_regions(
+        d_reg.reshape(r, t * tx * n_half, 128),
+        base * n_half, stride * n_half,
+        s2_rows=s_total * n_half, t=t, txn=tx * n_half, halo=halo,
+        out_dtype=flat_dtype, interpret=interpret,
+    )
+    d_flat = d_flat2.reshape(s_total, c)
+    zeros = (jnp.zeros_like(by_b), jnp.zeros_like(bx_b),
+             jnp.zeros_like(by_m), jnp.zeros_like(bx_m),
+             jnp.zeros(base.shape, jnp.float32),
+             jnp.zeros(stride.shape, jnp.float32))
+    return (d_flat,) + zeros
+
+
+_fused_pair_core.defvjp(_fused_pair_fwd, _fused_pair_bwd)
