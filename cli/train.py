@@ -41,6 +41,8 @@ def parse_args(argv=None):
                    help="training iterations (reference --iteration 200000)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--image-size", default=None,
+                   help="HxW static padded size override, e.g. 512x512")
     p.add_argument("--weight", default=None,
                    help="checkpoint path for warm start (reference --weight)")
     p.add_argument("--pretrained-npz", default=None,
@@ -129,6 +131,9 @@ def main(argv=None):
         train_over["lr"] = args.lr
     if args.batch_size is not None:
         train_over["batch_size"] = args.batch_size
+    if args.image_size:
+        h, w = (int(v) for v in args.image_size.split("x"))
+        train_over["image_size"] = (h, w)
     if args.buckets:
         train_over["image_buckets"] = tuple(
             tuple(int(v) for v in s.split("x"))

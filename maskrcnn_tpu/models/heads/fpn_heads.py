@@ -145,6 +145,26 @@ class FPNMaskHead(nn.Module):
         return self.mask(pooled_mask, class_idx)
 
 
+def _upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear ×2 with align_corners=True (chainer F.resize_images
+    semantics): out[i] samples in-coordinate i·(n−1)/(2n−1). Expressed as
+    two small interpolation matmuls (n is the 28-px heatmap side)."""
+    r, hh, ww, c = x.shape
+
+    def mat(n):
+        coords = jnp.arange(2 * n) * (n - 1) / (2 * n - 1)
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        w_hi = coords - lo
+        m = jnp.zeros((2 * n, n))
+        m = m.at[jnp.arange(2 * n), lo].add(1.0 - w_hi)
+        m = m.at[jnp.arange(2 * n), hi].add(w_hi)
+        return m
+
+    x = jnp.einsum("ih,rhwc->riwc", mat(hh), x)
+    return jnp.einsum("jw,riwc->rijc", mat(ww), x)
+
+
 class KeypointBranch(nn.Module):
     """n_convs× conv256 → deconv×2 → 1×1 conv(n_keypoints) → bilinear ×2.
 
@@ -154,6 +174,11 @@ class KeypointBranch(nn.Module):
     n_keypoints: int
     n_convs: int = 8
     dtype: Any = jnp.float32
+    # chainer F.resize_images is bilinear align_corners=True; JAX's
+    # 'linear' is half-pixel. Sub-pixel divergence on a 2x heatmap
+    # upsample — "align_corners" reproduces chainer exactly for parity
+    # sweeps; the measured OKS-AP delta is recorded in BASELINE.md.
+    upsample: str = "half_pixel"  # or "align_corners"
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray):
@@ -166,9 +191,8 @@ class KeypointBranch(nn.Module):
         h = nn.Conv(self.n_keypoints, (1, 1), dtype=dt, name="conv2")(h)
         h = h.astype(jnp.float32)
         r, hh, ww, c = h.shape
-        # chainer F.resize_images is bilinear align_corners=True; JAX's
-        # 'linear' is half-pixel — sub-pixel divergence on a 2x heatmap
-        # upsample, irrelevant to the argmax decode (documented quirk).
+        if self.upsample == "align_corners":
+            return _upsample2x_align_corners(h)
         return jax.image.resize(h, (r, 2 * hh, 2 * ww, c), method="linear")
 
 
@@ -177,6 +201,7 @@ class FPNKeypointHead(nn.Module):
     n_keypoints: int = 17
     n_mask_convs: int = 8
     dtype: Any = jnp.float32
+    upsample: str = "half_pixel"
 
     mask_size = 56
     roi_size_box = 7
@@ -185,7 +210,8 @@ class FPNKeypointHead(nn.Module):
 
     def setup(self):
         self.box = BoxBranch(self.n_class, 4, self.dtype)
-        self.mask = KeypointBranch(self.n_keypoints, self.n_mask_convs, self.dtype)
+        self.mask = KeypointBranch(self.n_keypoints, self.n_mask_convs,
+                                   self.dtype, self.upsample)
 
     def __call__(self, pooled_box, pooled_mask=None):
         locs, scores = self.box(pooled_box)

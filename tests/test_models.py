@@ -209,3 +209,20 @@ def test_stem_s2d_matches_direct_conv():
     for k in out_a:
         np.testing.assert_allclose(
             np.asarray(out_a[k]), np.asarray(out_b[k]), rtol=2e-5, atol=2e-5)
+
+
+def test_keypoint_upsample_align_corners_golden():
+    """align_corners=True 2x bilinear (chainer F.resize_images semantics,
+    reference fpn_roi_keypoint_head.py:93): out[i] samples i*(n-1)/(2n-1)
+    — hand-checked golden on a ramp."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu.models.heads.fpn_heads import _upsample2x_align_corners
+
+    x = jnp.broadcast_to(jnp.arange(3.0).reshape(1, 3, 1, 1), (1, 3, 3, 1))
+    y = _upsample2x_align_corners(x)
+    np.testing.assert_allclose(
+        np.asarray(y[0, :, 0, 0]), [0, 0.4, 0.8, 1.2, 1.6, 2.0], atol=1e-6)
+    np.testing.assert_allclose(  # constant along w stays constant
+        np.asarray(y[0, 0, :, 0]), np.zeros(6), atol=1e-6)
