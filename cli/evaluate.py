@@ -35,6 +35,10 @@ def main(argv=None):
                    help="comma-separated COCO category names (OR image "
                         "filter, reference coco_dataset.py:30-39)")
     p.add_argument("--out", default=None, help="write report JSON here")
+    p.add_argument("--set", action="append", default=[], metavar="SEC.KEY=V",
+                   help="config override, e.g. --set eval.mask_levels=refined"
+                        " or --set model.kp_upsample=align_corners (A/B runs"
+                        " of documented parity divergences)")
     p.add_argument("--dump-results", default=None, metavar="PATH",
                    help="also write a standard COCO results JSON (segm "
                         "format, pycocotools loadRes-compatible) over the "
@@ -59,6 +63,13 @@ def main(argv=None):
     from maskrcnn_tpu.train.checkpoint import load_params_only
 
     cfg = cfg_lib.PRESETS[args.preset]()
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        section, _, field = key.partition(".")
+        cur = getattr(getattr(cfg, section), field)  # raises on bad keys
+        typed = type(cur)(val) if cur is not None and not isinstance(
+            cur, bool) else (val == "True" if isinstance(cur, bool) else val)
+        cfg = cfg_lib._rep(cfg, **{section: {field: typed}})
     label_names = None
     if args.label_file:
         with open(args.label_file) as f:
