@@ -37,8 +37,15 @@ def run(flags: str, steps: int) -> dict | None:
     env = dict(os.environ)
     if flags:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-    # flag variants must not poison the shared compilation cache
-    env["JAX_COMPILATION_CACHE_DIR"] = ""
+        # flag variants must not poison the shared compilation cache —
+        # XLA_FLAGS are not part of jax's persistent-cache key. Give each
+        # flagged run its own throwaway dir (the baseline keeps the shared
+        # cache and its warm-compile advantage; we compare STEP time, not
+        # compile time).
+        import tempfile
+
+        env["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="xla_sweep_cache_")
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
