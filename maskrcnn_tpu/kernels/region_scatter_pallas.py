@@ -45,25 +45,27 @@ _LANES = 128
 
 
 def _kernel(ranges_ref, base_ref, stride_ref, order_ref, dreg_ref,
-            out_ref, acc, dreg_sc, sems, *, tile8: int, halo8: int,
-            t: int, txn8: int):
-    """All row dimensions travel in 8-row CHUNKS as a LEADING (untiled)
-    axis — acc is ((tile8+halo8), 8, 128) — so the per-window dynamic
-    offsets are pure address arithmetic on dim 0. (With rows as the
-    sublane axis, Mosaic lowers a dynamic-offset store as a full-buffer
-    select: measured 17 s/call on the v1 kernel. This form is ~2 ms.)"""
+            out_ref, acc, dreg_sc, sems, *, tilec: int, haloc: int,
+            t: int, txnc: int, ch: int, acc_dtype):
+    """All row dimensions travel in ``ch``-row CHUNKS as a LEADING
+    (untiled) axis — acc is ((tilec+haloc), ch, 128) — so the per-window
+    dynamic offsets are pure address arithmetic on dim 0. (With rows as
+    the sublane axis, Mosaic lowers a dynamic-offset store as a
+    full-buffer select: measured ~1000× slow on the v1 kernel.) ``ch`` is
+    8 for a float32 accumulator and 16 for bfloat16 (the native sublane
+    tile heights), so chunk slices stay tile-aligned either way."""
     i = pl.program_id(0)
-    tile0 = i * tile8
+    tile0 = i * tilec
 
     # ---- carry the halo, zero the rest -------------------------------
     @pl.when(i == 0)
     def _():
-        acc[pl.ds(0, halo8)] = jnp.zeros((halo8, 8, _LANES), jnp.float32)
+        acc[pl.ds(0, haloc)] = jnp.zeros((haloc, ch, _LANES), acc_dtype)
 
     @pl.when(i > 0)
     def _():
-        acc[pl.ds(0, halo8)] = acc[pl.ds(tile8, halo8)]
-    acc[pl.ds(halo8, tile8)] = jnp.zeros((tile8, 8, _LANES), jnp.float32)
+        acc[pl.ds(0, haloc)] = acc[pl.ds(tilec, haloc)]
+    acc[pl.ds(haloc, tilec)] = jnp.zeros((tilec, ch, _LANES), acc_dtype)
 
     lo = ranges_ref[i, 0]
     hi = ranges_ref[i, 1]
@@ -89,21 +91,21 @@ def _kernel(ranges_ref, base_ref, stride_ref, order_ref, dreg_ref,
         def _():
             start(k + 1, jax.lax.rem(k + 1, 2))
 
-        # acc[h] covers flat2 chunk (tile0 + h): owned range [0, tile8),
-        # halo [tile8, tile8+halo8). Windows start inside the owned range
-        # and extend at most halo8 chunks past it.
-        obase = base_ref[lo + k] - tile0 * 8
+        # acc[h] covers flat2 chunk (tile0 + h): owned range [0, tilec),
+        # halo [tilec, tilec+haloc). Windows start inside the owned range
+        # and extend at most haloc chunks past it.
+        obase = base_ref[lo + k] - tile0 * ch
         stride = stride_ref[lo + k]
-        blk = dreg_sc[slot].astype(jnp.float32)  # (t·txn8, 8, 128)
+        blk = dreg_sc[slot].astype(acc_dtype)  # (t·txnc, ch, 128)
         for j in range(t):
-            off8 = (obase + j * stride) // 8
-            acc[pl.ds(off8, txn8)] = (
-                acc[pl.ds(off8, txn8)] + blk[j * txn8:(j + 1) * txn8]
+            offc = (obase + j * stride) // ch
+            acc[pl.ds(offc, txnc)] = (
+                acc[pl.ds(offc, txnc)] + blk[j * txnc:(j + 1) * txnc]
             )
         return carry
 
     jax.lax.fori_loop(0, n_cand, body, 0)
-    out_ref[0] = acc[pl.ds(0, tile8)].astype(out_ref.dtype)
+    out_ref[0] = acc[pl.ds(0, tilec)].astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,7 +114,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s2_rows", "t", "txn", "halo", "out_dtype", "interpret"),
+    static_argnames=("s2_rows", "t", "txn", "halo", "out_dtype",
+                     "acc_dtype", "interpret"),
 )
 def scatter_add_regions(
     d_regs: jnp.ndarray,
@@ -123,31 +126,43 @@ def scatter_add_regions(
     txn: int,
     halo: int,          # static bound: (t-1)·max(stride2) + txn ≤ halo
     out_dtype=jnp.bfloat16,
+    acc_dtype: str = "float32",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """d_flat2 (s2_rows, 128) = Σ_r place(d_regs[r]) — the region gather's
     VJP. Window row j of ROI r lands at ``base2[r] + j·stride2[r]``; writes
     at or past ``s2_rows`` are dropped (zero-weight clamp tails — see the
-    module docstring for why that is exact)."""
+    module docstring for why that is exact).
+
+    ``acc_dtype="bfloat16"`` halves the accumulator traffic (the kernel is
+    zero/shift-bound) at the XLA scatter path's own precision; it moves
+    rows in 16-row chunks (the bf16 sublane tile), so the CALLER must
+    guarantee base2/stride2/txn are multiples of 16 — true whenever the
+    feature width is a multiple of 256 (n_half even). float32 (default)
+    needs only 8-row alignment.
+    """
     r = d_regs.shape[0]
     assert d_regs.shape[1] == t * txn and d_regs.shape[2] == _LANES, (
         d_regs.shape, t, txn)
-    assert txn % 8 == 0, txn  # windows move in whole 8-row chunks
+    adt = jnp.dtype(acc_dtype)
+    ch = 16 if adt == jnp.bfloat16 else 8
+    assert txn % ch == 0, (txn, ch)  # windows move in whole chunks
 
-    halo8 = _round_up(max(halo, 8), 8) // 8
-    tile8 = _round_up(max(8192 // 8, halo8), 1)  # carry needs tile ≥ halo
-    n_tiles = -(-s2_rows // (tile8 * 8)) + 1  # +1: last halo lands in-range
-    txn8 = txn // 8
+    haloc = _round_up(max(halo, ch), ch) // ch
+    tilec = max(8192 // ch, haloc)  # carry needs tile ≥ halo
+    n_tiles = -(-s2_rows // (tilec * ch)) + 1  # +1: last halo in-range
+    txnc = txn // ch
 
     order = jnp.argsort(base2).astype(jnp.int32)
     base_s = base2[order].astype(jnp.int32)
     stride_s = stride2[order].astype(jnp.int32)
-    starts = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (tile8 * 8)
+    starts = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (tilec * ch)
     cuts = jnp.searchsorted(base_s, starts, side="left").astype(jnp.int32)
     ranges = jnp.stack([cuts[:-1], cuts[1:]], axis=1)  # (n_tiles, 2)
 
     kernel = functools.partial(
-        _kernel, tile8=tile8, halo8=halo8, t=t, txn8=txn8)
+        _kernel, tilec=tilec, haloc=haloc, t=t, txnc=txnc, ch=ch,
+        acc_dtype=adt)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -155,20 +170,20 @@ def scatter_add_regions(
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (1, tile8, 8, _LANES), lambda i, *_: (i, 0, 0, 0),
+                (1, tilec, ch, _LANES), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((tile8 + halo8, 8, _LANES), jnp.float32),
-                pltpu.VMEM((2, t * txn8, 8, _LANES), d_regs.dtype),
+                pltpu.VMEM((tilec + haloc, ch, _LANES), adt),
+                pltpu.VMEM((2, t * txnc, ch, _LANES), d_regs.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile8, 8, _LANES),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tilec, ch, _LANES),
                                        out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: halo carry
         ),
         interpret=interpret,
     )(ranges, base_s, stride_s, order,
-      d_regs.reshape(r, t * txn8, 8, _LANES))
-    return out.reshape(n_tiles * tile8 * 8, _LANES)[:s2_rows]
+      d_regs.reshape(r, t * txnc, ch, _LANES))
+    return out.reshape(n_tiles * tilec * ch, _LANES)[:s2_rows]
