@@ -67,8 +67,15 @@ def main(argv=None):
         key, _, val = ov.partition("=")
         section, _, field = key.partition(".")
         cur = getattr(getattr(cfg, section), field)  # raises on bad keys
-        typed = type(cur)(val) if cur is not None and not isinstance(
-            cur, bool) else (val == "True" if isinstance(cur, bool) else val)
+        if isinstance(cur, bool):
+            typed = val in ("True", "true", "1")
+        elif isinstance(cur, tuple):  # e.g. train.image_size=512x512
+            typed = tuple(
+                int(v) for v in val.replace("x", ",").split(",") if v)
+        elif cur is None:
+            typed = val
+        else:
+            typed = type(cur)(val)
         cfg = cfg_lib._rep(cfg, **{section: {field: typed}})
     label_names = None
     if args.label_file:

@@ -84,6 +84,9 @@ class ModelConfig:
     # keypoint heatmap 2x upsample: "half_pixel" (jax.image.resize linear)
     # or "align_corners" (chainer F.resize_images exact — parity sweeps).
     kp_upsample: str = "half_pixel"
+    # fused-path scatter accumulator dtype: float32 (exact) or bfloat16
+    # (halves the zero/shift-bound kernel's traffic; XLA-scatter parity).
+    roi_align_acc: str = "float32"
     # ROIAlign implementation: auto (region for FPN, gather single-level),
     # or force region / gather / pallas (the hand-written TPU kernel) /
     # fused (region forward + Pallas tile-accumulator scatter backward —

@@ -214,6 +214,7 @@ class MaskRCNN(nn.Module):
                 features, rois_bn, levels_bn, n_pos,
                 (sb, sb), (sm, sm), self.spatial_scales,
                 bwd_scatter="pallas" if use_pallas_bwd else "xla",
+                acc_dtype=self.cfg.model.roi_align_acc,
             )
             locs, scores, _ = self.head(pooled_box)
             if class_idx is not None and isinstance(self.head, FPNMaskHead):

@@ -468,6 +468,7 @@ def multilevel_roi_align_train(
     sampling_ratio: int = 2,
     t_span: int | None = None,
     bwd_scatter: str = "xla",  # "xla" | "pallas" (fused custom-VJP path)
+    acc_dtype: str = "float32",  # pallas scatter accumulator (or bfloat16)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Box pooling for ALL (B·n) ROI slots + mask pooling for the (B·n_pos)
     positive prefix, sharing ONE region gather (and therefore one backward
@@ -501,6 +502,7 @@ def multilevel_roi_align_train(
             out_size_box, out_size_mask, spatial_scales, sampling_ratio,
             t_span, fold,
             interpret=_jax.default_backend() != "tpu",
+            acc_dtype=acc_dtype if c % 256 == 0 else "float32",
         )
     return _mlra_region_pair(
         flat, shapes, offsets, rois_bn, levels_bn, n_pos,
@@ -619,7 +621,7 @@ def _pair_geometry(shapes, offsets, rois_bn, levels_bn, n_pos,
 def _mlra_region_pair_fused(
     flat, shapes, offsets, rois_bn, levels_bn, n_pos,
     out_size_box, out_size_mask, spatial_scales, sampling_ratio,
-    t_span, fold, interpret=False,
+    t_span, fold, interpret=False, acc_dtype="float32",
 ):
     b, n = rois_bn.shape[:2]
     row_ids, by_b, bx_b, by_m, bx_m, tx = _pair_geometry(
@@ -637,24 +639,24 @@ def _mlra_region_pair_fused(
         flat, by_b, bx_b, by_m, bx_m,
         base.astype(jnp.float32), stride.astype(jnp.float32),
         b, n, n_pos, t_span, tx, fold, halo, interpret,
-        int(flat.shape[0]), str(flat.dtype),
+        int(flat.shape[0]), str(flat.dtype), acc_dtype,
     )
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def _fused_pair_core(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
                      b, n, n_pos, t, tx, fold, halo, interpret,
-                     s_total, flat_dtype):
+                     s_total, flat_dtype, acc_dtype):
     out, _ = _fused_pair_fwd(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
                              b, n, n_pos, t, tx, fold, halo, interpret,
-                             s_total, flat_dtype)
+                             s_total, flat_dtype, acc_dtype)
     return out
 
 
 def _fused_pair_fwd(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
                     b, n, n_pos, t, tx, fold, halo, interpret,
-                    s_total, flat_dtype):
+                    s_total, flat_dtype, acc_dtype):
     c = flat.shape[-1]
     base = base_f.astype(jnp.int32)
     stride = stride_f.astype(jnp.int32)
@@ -675,7 +677,7 @@ def _fused_pair_fwd(flat, by_b, bx_b, by_m, bx_m, base_f, stride_f,
 
 
 def _fused_pair_bwd(b, n, n_pos, t, tx, fold, halo, interpret,
-                    s_total, flat_dtype, res, g):
+                    s_total, flat_dtype, acc_dtype, res, g):
     from maskrcnn_tpu.kernels.region_scatter_pallas import scatter_add_regions
 
     by_b, bx_b, by_m, bx_m, base, stride = res
@@ -711,7 +713,7 @@ def _fused_pair_bwd(b, n, n_pos, t, tx, fold, halo, interpret,
         d_reg.reshape(r, t * tx * n_half, 128),
         base * n_half, stride * n_half,
         s2_rows=s_total * n_half, t=t, txn=tx * n_half, halo=halo,
-        out_dtype=flat_dtype, interpret=interpret,
+        out_dtype=flat_dtype, acc_dtype=acc_dtype, interpret=interpret,
     )
     d_flat = d_flat2.reshape(s_total, c)
     zeros = (jnp.zeros_like(by_b), jnp.zeros_like(bx_b),
