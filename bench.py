@@ -150,6 +150,9 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi-align", default="auto",
                    choices=["auto", "region", "gather", "pallas", "fused"])
+    p.add_argument("--roi-align-acc", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="fused-path scatter accumulator dtype")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (bigger batches)")
     p.add_argument("--grad-accum", type=int, default=None,
@@ -189,6 +192,7 @@ def main():
                    grad_accum_steps=grad_accum,
                    momentum_dtype=args.momentum_dtype),
         model=dict(dtype=args.dtype, roi_align=args.roi_align,
+                   roi_align_acc=args.roi_align_acc,
                    remat=args.remat, stem_s2d=args.stem == "s2d"),
     )
 
@@ -290,7 +294,7 @@ def main():
     # only validate the exact recorded configurations.
     if args.grad_accum is not None or args.roi_align != "auto" \
             or args.remat or args.momentum_dtype is not None \
-            or args.stem != "s2d":
+            or args.stem != "s2d" or args.roi_align_acc != "float32":
         expected = None
     _validate(record, flops, peak, chained_ms, p50_ms, expected)
     print(json.dumps(record))

@@ -30,17 +30,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def make_dataset(root: str, n_images: int, hw: tuple[int, int],
                  n_objects: int, n_classes: int = 20, seed: int = 0,
-                 quality: int = 90) -> None:
-    """Real-schema COCO dir: JPEG images + instances json with polygons."""
+                 quality: int = 90, mixed_aspect: bool = False) -> None:
+    """Real-schema COCO dir: JPEG images + instances json with polygons.
+
+    ``mixed_aspect`` alternates landscape/portrait (image i odd →
+    transposed dims) — drives the multi-bucket pipeline end-to-end."""
     import cv2
 
-    h0, w0 = hw
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     os.makedirs(os.path.join(root, "train"), exist_ok=True)
     rng = np.random.RandomState(seed)
     images, annotations = [], []
     aid = 1
     for i in range(n_images):
+        h0, w0 = hw
+        if mixed_aspect and i % 2:
+            h0, w0 = w0, h0
         img = rng.randint(0, 255, (h0, w0, 3)).astype(np.uint8)
         name = f"{i:08d}.jpg"
         cv2.imwrite(os.path.join(root, "train", name), img,
