@@ -63,6 +63,15 @@ def main(argv=None):
     from maskrcnn_tpu.train.checkpoint import load_params_only
 
     cfg = cfg_lib.PRESETS[args.preset]()
+    # mirror cli/train.py's default: COCO label names for non-keypoint,
+    # non-tiny presets (keeps n_fg_class/report names consistent between
+    # default training runs and default evals)
+    if args.label_file is None and cfg.model.head != "fpn_keypoint" \
+            and args.preset != "tiny_test":
+        cand = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "label_coco.txt")
+        if os.path.exists(cand):
+            args.label_file = cand
     for ov in args.set:
         key, _, val = ov.partition("=")
         section, _, field = key.partition(".")

@@ -71,7 +71,11 @@ class AnchorTargetConfig:
 class ModelConfig:
     backbone: Literal["fpn", "c4", "darknet"] = "fpn"
     head: Literal["fpn", "fpn_keypoint", "light", "res5"] = "fpn"
-    n_fg_class: int = 79  # reference data/label_coco.txt has 79 classes
+    # reference data/label_coco.txt carries 80 entries (the standard COCO
+    # set, person..toothbrush; its last line is newline-unterminated so
+    # `wc -l` reads 79 — the source of the round-1..3 "79 classes" error).
+    # The reference's n_fg_class = len(f.readlines()) = 80 (train.py:92-93).
+    n_fg_class: int = 80
     n_keypoints: int = 17
     n_mask_convs: int = 4  # keypoint head default 8 (train_keypoints.py:87)
     roi_size_box: int = 7

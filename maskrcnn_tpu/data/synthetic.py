@@ -58,13 +58,18 @@ class SyntheticDetectionData:
             ).astype(np.float32)
             shape_kind = rng.randint(0, 2)
 
-            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            # rasterize only within the box slice — a full-image mgrid per
+            # object made generation host-bound (~40 ms/image at 512²; the
+            # 1-core host then starves the chip at 4-6 img/s)
+            iy0, iy1 = int(np.floor(y0)), min(int(np.ceil(y1)), h)
+            ix0, ix1 = int(np.floor(x0)), min(int(np.ceil(x1)), w)
+            yy, xx = np.mgrid[iy0:iy1, ix0:ix1].astype(np.float32)
             if shape_kind == 0:  # rectangle
                 inside = (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
             else:  # ellipse
                 cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
                 inside = ((yy - cy) / (bh / 2)) ** 2 + ((xx - cx) / (bw / 2)) ** 2 <= 1.0
-            img[inside] = color
+            img[iy0:iy1, ix0:ix1][inside] = color
 
             boxes[i] = [y0, x0, y1, x1]
             labels[i] = cls

@@ -152,8 +152,8 @@ class TestFacade:
         locs, scores, mask = model.apply(
             vars_, feats, rois, bi, lv, method=MaskRCNN.head_full)
         assert locs.shape == (4, 4)
-        assert scores.shape == (4, 80)
-        assert mask.shape == (4, 14, 14, 79)
+        assert scores.shape == (4, 81)
+        assert mask.shape == (4, 14, 14, 80)
 
 
 def test_pyramid_shapes_p6_ceil():
