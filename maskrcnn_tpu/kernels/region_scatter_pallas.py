@@ -28,8 +28,9 @@ the weights of rows/columns outside the level extent), so their cotangent
 is zero and dropping the out-of-array writes is exact — asserted against
 the XLA scatter path in tests/test_kernels.py.
 
-Accumulation is float32 (the XLA path accumulated in bf16); the output is
-cast back to the feature dtype.
+Accumulation is float32 by default (BETTER than the XLA path, which
+accumulated in bf16); ``acc_dtype="bfloat16"`` trades that margin back for
+halved accumulator traffic. Output is cast to the feature dtype.
 """
 
 from __future__ import annotations
