@@ -342,6 +342,18 @@ def main(argv=None):
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
         step_i = it + 1
+        if step_i % 20 == 0:
+            # bound async dispatch: without a periodic HOST sync the loop
+            # enqueues batches faster than the device+tunnel drain them and
+            # host transfer buffers accumulate without bound — measured
+            # ~13 GB per 1000 steps at 512²b8 on the axon tunnel, OOM-killed
+            # at 128 GB mid-quality-run. A value fetch (block_until_ready
+            # does not reliably block over this tunnel) every 20 steps caps
+            # the in-flight queue at ~1 GB for ~1% step-time cost. (The
+            # reference had the HOST-side version of this bug: its README
+            # documents memory growing through the first epoch, needing a
+            # 64 GB machine.)
+            float(metrics["loss"])
         if step_i % args.log_every == 0 or step_i == 1:
             scalars = {k: float(v) for k, v in metrics.items()}
             if hasattr(data, "padding_waste"):
