@@ -199,16 +199,19 @@ class MaskRCNN(nn.Module):
             # single hottest op of the train step at 18.5 GiB/s; fused
             # measured 56.8 vs 49.7 img/s end-to-end). "region" keeps the
             # pure-XLA backward as the A/B reference. "auto" picks fused
-            # on a SINGLE-device TPU only: the data-parallel step is
-            # GSPMD-jitted (parallel/mesh.py) and a pallas_call carries no
-            # partitioning rule — multi-device autos stay on XLA until the
-            # backward is shard_map'ed.
+            # on TPU when the trace is per-device local: single device, or
+            # inside a shard_map body (parallel/mesh.py spmd="shard_map"),
+            # where every op sees its local shard and pallas_call is legal.
+            # Multi-device GSPMD jit has no partitioning rule for
+            # pallas_call, so those autos stay on the XLA scatter.
             import jax as _jax
+
+            from maskrcnn_tpu.ops.roi_align import in_spmd_local_trace
 
             use_pallas_bwd = self.cfg.model.roi_align == "fused" or (
                 self.cfg.model.roi_align == "auto"
                 and _jax.default_backend() == "tpu"
-                and len(_jax.devices()) == 1
+                and (len(_jax.devices()) == 1 or in_spmd_local_trace())
             )
             pooled_box, pooled_mask = multilevel_roi_align_train(
                 features, rois_bn, levels_bn, n_pos,

@@ -19,11 +19,35 @@ offset. Gradients w.r.t. features come from JAX's gather VJP (scatter-add).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Trace-time marker: set while tracing a per-device-local (shard_map) train
+# step. Inside shard_map every op sees its LOCAL shard, so a pallas_call is
+# legal even on a multi-device mesh — GSPMD jit, by contrast, has no
+# partitioning rule for pallas_call and the "auto" roi_align must stay on
+# the XLA scatter there. parallel/mesh.py enters this context around the
+# shard_map body; models/maskrcnn.py consults it when resolving "auto".
+_SPMD_LOCAL_DEPTH = 0
+
+
+@contextlib.contextmanager
+def spmd_local_trace():
+    """Mark the enclosed TRACE as per-device local (inside shard_map)."""
+    global _SPMD_LOCAL_DEPTH
+    _SPMD_LOCAL_DEPTH += 1
+    try:
+        yield
+    finally:
+        _SPMD_LOCAL_DEPTH -= 1
+
+
+def in_spmd_local_trace() -> bool:
+    return _SPMD_LOCAL_DEPTH > 0
 
 
 def _bilinear_sample_flat(

@@ -95,15 +95,78 @@ def replicate(tree, mesh: Mesh):
 
 
 def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data",
-                             image_size: tuple[int, int] | None = None):
+                             image_size: tuple[int, int] | None = None,
+                             spmd: str = "auto"):
     """The single-chip train step, jitted with DP shardings over ``mesh``.
 
     Returns ``(state, batch) -> (state, metrics)`` where ``state`` must be
     replicated (see :func:`replicate`) and ``batch`` sharded
     (:func:`shard_batch`). Gradient reduction compiles to one XLA all-reduce
     per parameter bucket over ICI — no NCCL, no process forking.
+
+    ``spmd`` picks how the program is partitioned:
+
+    - ``"gspmd"``: one global-view jit; the partitioner inserts the gradient
+      all-reduce. A ``pallas_call`` carries no partitioning rule, so the
+      fused ROIAlign backward (roi_align "auto"/"fused") silently falls back
+      to the XLA scatter here.
+    - ``"shard_map"``: the step body is mapped per device with an explicit
+      ``lax.pmean`` over ``axis`` (see ``make_train_step(axis_name=...)``).
+      Every op inside sees its local shard, so the Pallas tile-accumulator
+      scatter — the round-4 single-chip win (49.7→57 img/s) — runs on each
+      device of a multi-chip mesh too. Sampling keys derive from the global
+      image index, so proposals/anchors match the gspmd step bit-for-bit.
+    - ``"auto"``: shard_map on a multi-device TPU mesh when the config would
+      use the fused backward (roi_align "auto"/"fused" on an FPN head);
+      gspmd otherwise.
     """
     from maskrcnn_tpu.train.step import make_train_step
+
+    if spmd == "auto":
+        fused_wanted = (
+            cfg.model.roi_align in ("auto", "fused")
+            and cfg.model.head in ("fpn", "fpn_keypoint")
+        )
+        spmd = (
+            "shard_map"
+            if fused_wanted and mesh.size > 1
+            and jax.default_backend() == "tpu"
+            else "gspmd"
+        )
+
+    if spmd == "shard_map":
+        from maskrcnn_tpu.ops.roi_align import spmd_local_trace
+
+        if cfg.train.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by "
+                f"mesh size {mesh.size}"
+            )
+        local_step = make_train_step(cfg, model, image_size, axis_name=axis)
+
+        def local_body(state, batch):
+            # the context manager runs at TRACE time, marking this body as
+            # per-device local so roi_align "auto" may pick the Pallas
+            # backward (models/maskrcnn.py head_train)
+            with spmd_local_trace():
+                return local_step(state, batch)
+
+        batch_spec = P(axis)  # leading-dim sharding on every batch field
+        mapped = jax.shard_map(
+            local_body,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=(P(), P()),
+            # grads/metrics are pmean'd and the optimizer update is
+            # deterministic on replicated inputs, but the static
+            # varying-manual-axes checker can't prove that through the
+            # whole step
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    if spmd != "gspmd":
+        raise ValueError(f"unknown spmd mode {spmd!r}")
 
     step = make_train_step(cfg, model, image_size)
     repl = NamedSharding(mesh, P())

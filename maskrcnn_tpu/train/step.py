@@ -61,11 +61,23 @@ def _flatten_rois(sample_rois, sample_levels):
 
 
 def make_train_step(cfg: Config, model: MaskRCNN,
-                    image_size: tuple[int, int] | None = None):
+                    image_size: tuple[int, int] | None = None,
+                    axis_name: str | None = None):
     """Build the jitted train step for a config. Anchors are trace-time
     constants derived from the static image bucket; with multi-bucket
     input (``cfg.train.image_buckets``) build one step per bucket by
     passing ``image_size``.
+
+    ``axis_name`` builds the per-device-LOCAL body for a shard_map DP step
+    (parallel/mesh.py): the batch argument is the local shard, gradients and
+    metrics are ``lax.pmean``-ed over the axis before the (replicated)
+    optimizer update, and per-image sampling keys are derived from the
+    GLOBAL image index (``axis_index * local_b + i``) so the sampled
+    proposals/anchors are bit-identical to the single-device step on the
+    same global batch. The function is returned UNJITTED in that mode (the
+    caller wraps it in shard_map + jit). As with grad-accum, losses
+    normalize by each shard's own valid counts, so the pmean'd gradient
+    differs from the global-batch gradient only in that normalization.
 
     NOTE: the returned step donates its ``state`` argument (in-place param
     update, halves HBM traffic). Always rebind: ``state, metrics =
@@ -212,8 +224,20 @@ def make_train_step(cfg: Config, model: MaskRCNN,
         key, new_key = jax.random.split(state.key)
         b = cfg.train.batch_size
         # (b, 2) per-image (proposal, anchor) sampling keys by global image
-        # index — invariant to how the batch is split into micro-batches.
+        # index — invariant to how the batch is split into micro-batches
+        # (grad accum) AND across shard_map devices (local slice of the
+        # global key table below).
         img_keys = jax.random.split(key, b * 2).reshape(b, 2)
+        if axis_name is not None:
+            # local shard: rows [idx*bl, (idx+1)*bl) of the global table.
+            # Typed keys don't support lax.dynamic_slice directly — slice
+            # the raw key data and re-wrap (same default impl as split's
+            # output).
+            bl = batch.images.shape[0]
+            kd = jax.random.key_data(img_keys)  # (b, 2, key_words)
+            idx = jax.lax.axis_index(axis_name)
+            kd = jax.lax.dynamic_slice_in_dim(kd, idx * bl, bl, axis=0)
+            img_keys = jax.random.wrap_key_data(kd)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if accum <= 1:
             (_, (bd, new_bs)), grads = grad_fn(
@@ -260,6 +284,13 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             )
             grads = jax.tree.map(lambda g: g / accum, g_sum)
             bd = jax.tree.map(lambda x: jnp.mean(x, axis=0), bds)
+        if axis_name is not None:
+            # DP reduction — the explicit psum the GSPMD partitioner would
+            # have inserted. batch_stats too: a no-op under frozen BN (the
+            # default), cross-replica averaging (the standard choice) when
+            # BN trains.
+            grads, bd, new_bs = jax.lax.pmean(
+                (grads, bd, new_bs), axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: p + u, state.params, updates
@@ -273,6 +304,8 @@ def make_train_step(cfg: Config, model: MaskRCNN,
         )
         return new_state, bd._asdict()
 
+    if axis_name is not None:
+        return train_step  # caller wraps in shard_map + jit
     return jax.jit(train_step, donate_argnums=(0,))
 
 

@@ -60,3 +60,27 @@ def test_dp_matches_single_device():
     # params stay replicated after the update
     leaf = jax.tree.leaves(s8.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+    # shard_map DP (the path that can run the Pallas fused ROIAlign
+    # backward per device on multi-chip TPU meshes) must match gspmd:
+    # same global batch, same PRNG → same loss and params. On this CPU
+    # mesh roi_align "auto" resolves to the XLA backward in both modes,
+    # so this checks the harness (local body, global-index sampling keys,
+    # explicit pmean), not the kernel.
+    s8b = replicate(
+        create_train_state(cfg, jax.tree.map(jnp.copy, variables),
+                           jax.random.key(1)),
+        mesh,
+    )
+    step_sm = make_parallel_train_step(cfg, model, mesh, spmd="shard_map")
+    s8b, m8b = step_sm(s8b, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8b["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s8b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    leaf = jax.tree.leaves(s8b.params)[0]
+    assert leaf.sharding.is_fully_replicated
