@@ -72,20 +72,7 @@ def main(argv=None):
                             "label_coco.txt")
         if os.path.exists(cand):
             args.label_file = cand
-    for ov in args.set:
-        key, _, val = ov.partition("=")
-        section, _, field = key.partition(".")
-        cur = getattr(getattr(cfg, section), field)  # raises on bad keys
-        if isinstance(cur, bool):
-            typed = val in ("True", "true", "1")
-        elif isinstance(cur, tuple):  # e.g. train.image_size=512x512
-            typed = tuple(
-                int(v) for v in val.replace("x", ",").split(",") if v)
-        elif cur is None:
-            typed = val
-        else:
-            typed = type(cur)(val)
-        cfg = cfg_lib._rep(cfg, **{section: {field: typed}})
+    cfg = cfg_lib.apply_overrides(cfg, args.set)
     label_names = None
     if args.label_file:
         with open(args.label_file) as f:

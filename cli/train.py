@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import math
 import os
 import sys
 
@@ -95,6 +96,9 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-20")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--set", action="append", default=[], metavar="SEC.KEY=V",
+                   help="config override, e.g. --set model.freeze_bn=False "
+                        "(applied after the preset and the flag shortcuts)")
     return p.parse_args(argv)
 
 
@@ -141,6 +145,7 @@ def main(argv=None):
         )
     if train_over:
         cfg = cfg_lib._rep(cfg, train=train_over)
+    cfg = cfg_lib.apply_overrides(cfg, args.set)
 
     # label file → n_fg_class + per-class report names (reference
     # train.py:92-93: n_fg_class = len(open(label_file).readlines())).
@@ -332,6 +337,19 @@ def main(argv=None):
             f"{k}={v:.4f}" for k, v in rep.items()
             if isinstance(v, float) and "/" not in k or k.startswith("coco")
         ))
+        # eval results go to the JSONL, not just stdout (round-4 lesson:
+        # the 0.0-AP flagship run was invisible in its own log)
+        logger.log_validation(step_i, rep)
+        aps = [v for k, v in rep.items()
+               if isinstance(v, (int, float)) and "/" not in k]
+        if aps and max(aps) == 0.0 and step_i >= 1000:
+            print(f"[eval @{step_i}] *** WARNING: every eval metric is 0.0 "
+                  "after 1000+ steps — the model is training blind. Check "
+                  "the gradient path (tools/diag_fused_grad.py), the "
+                  "predict path on a known-good checkpoint, and the data. "
+                  "(Reference halts into pdb on numeric warnings, "
+                  "train.py:171-176; this is the AP-flavored trap.) ***")
+        return rep
 
     for it in range(start, cfg.train.iterations):
         batch = put(next(batches))
@@ -353,7 +371,18 @@ def main(argv=None):
             # reference had the HOST-side version of this bug: its README
             # documents memory growing through the first epoch, needing a
             # 64 GB machine.)
-            float(metrics["loss"])
+            loss_now = float(metrics["loss"])
+            if not math.isfinite(loss_now):
+                # the reference's np.seterr + pdb-on-warning trap
+                # (train.py:171-176), TPU-shaped: the loss is fetched here
+                # anyway, so finiteness costs nothing. Dump state for the
+                # post-mortem and halt instead of training on garbage.
+                path = save_checkpoint(ckpt_dir, state, step_i)
+                parts = {k: float(v) for k, v in metrics.items()}
+                raise SystemExit(
+                    f"[trap] non-finite loss {loss_now} at step {step_i}; "
+                    f"breakdown {parts}; state dumped to {path}"
+                )
         if step_i % args.log_every == 0 or step_i == 1:
             scalars = {k: float(v) for k, v in metrics.items()}
             if hasattr(data, "padding_waste"):

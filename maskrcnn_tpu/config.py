@@ -210,6 +210,26 @@ def _rep(cfg: Config, **sections) -> Config:
     return out
 
 
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``SEC.KEY=VALUE`` strings (the CLIs' ``--set`` flag) — typed by
+    the field's current value; tuples accept both ``,`` and ``x``
+    separators (``train.image_size=512x512``)."""
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        section, _, field = key.partition(".")
+        cur = getattr(getattr(cfg, section), field)  # raises on bad keys
+        if isinstance(cur, bool):
+            typed = val in ("True", "true", "1")
+        elif isinstance(cur, tuple):
+            typed = tuple(int(v) for v in val.replace("x", ",").split(",") if v)
+        elif cur is None:
+            typed = val
+        else:
+            typed = type(cur)(val)
+        cfg = _rep(cfg, **{section: {field: typed}})
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # Presets mirroring the reference's runnable configurations (SURVEY §5).
 # ---------------------------------------------------------------------------

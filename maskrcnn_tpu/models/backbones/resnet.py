@@ -77,6 +77,8 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from maskrcnn_tpu.ops.roi_align import current_spmd_axis
+
         use_running = self.frozen or not train
         return nn.BatchNorm(
             use_running_average=use_running,
@@ -85,6 +87,11 @@ class Norm(nn.Module):
             # reference/ImageNet weights reproduce the reference numerics.
             epsilon=2e-5,
             dtype=self.dtype,
+            # sync-BN: inside a shard_map DP body (trace-time marker) batch
+            # statistics pmean over the mesh axis, so trainable BN matches
+            # the global-batch stats GSPMD/single-device compute. Frozen or
+            # eval BN never reduces (running stats only).
+            axis_name=None if use_running else current_spmd_axis(),
         )(x)
 
 

@@ -32,22 +32,40 @@ import numpy as np
 # partitioning rule for pallas_call and the "auto" roi_align must stay on
 # the XLA scatter there. parallel/mesh.py enters this context around the
 # shard_map body; models/maskrcnn.py consults it when resolving "auto".
-_SPMD_LOCAL_DEPTH = 0
+# THREAD-local (not process-global): an unrelated trace on another thread
+# (a concurrent eval jit, say) must not see this trace's marker.
+import threading
+
+_SPMD_LOCAL = threading.local()
 
 
 @contextlib.contextmanager
-def spmd_local_trace():
-    """Mark the enclosed TRACE as per-device local (inside shard_map)."""
-    global _SPMD_LOCAL_DEPTH
-    _SPMD_LOCAL_DEPTH += 1
+def spmd_local_trace(axis_name: str | None = None):
+    """Mark the enclosed TRACE (on this thread) as per-device local.
+
+    ``axis_name`` optionally names the mapped mesh axis; modules that need
+    cross-device reductions at trace time consult it via
+    :func:`current_spmd_axis` (e.g. sync-BN: trainable BatchNorm inside a
+    shard_map body must pmean its batch statistics over the axis to match
+    the global-batch statistics GSPMD/single-device compute)."""
+    stack = getattr(_SPMD_LOCAL, "stack", None)
+    if stack is None:
+        stack = _SPMD_LOCAL.stack = []
+    stack.append(axis_name)
     try:
         yield
     finally:
-        _SPMD_LOCAL_DEPTH -= 1
+        stack.pop()
 
 
 def in_spmd_local_trace() -> bool:
-    return _SPMD_LOCAL_DEPTH > 0
+    return bool(getattr(_SPMD_LOCAL, "stack", ()))
+
+
+def current_spmd_axis() -> str | None:
+    """The mapped axis name of the innermost spmd_local_trace, or None."""
+    stack = getattr(_SPMD_LOCAL, "stack", ())
+    return stack[-1] if stack else None
 
 
 def _bilinear_sample_flat(

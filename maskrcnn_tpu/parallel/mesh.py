@@ -133,6 +133,12 @@ def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data",
             and jax.default_backend() == "tpu"
             else "gspmd"
         )
+        # say it loudly (round-4 ADVICE): the two modes now match exactly
+        # at grad_accum=1 (axis-aware loss normalization + psum,
+        # tests/test_parallel.py), but users should still know which
+        # program they are running.
+        print(f"[parallel] spmd=auto resolved to {spmd!r} "
+              f"(mesh size {mesh.size}, roi_align={cfg.model.roi_align!r})")
 
     if spmd == "shard_map":
         from maskrcnn_tpu.ops.roi_align import spmd_local_trace
@@ -146,9 +152,11 @@ def make_parallel_train_step(cfg, model, mesh: Mesh, axis: str = "data",
 
         def local_body(state, batch):
             # the context manager runs at TRACE time, marking this body as
-            # per-device local so roi_align "auto" may pick the Pallas
-            # backward (models/maskrcnn.py head_train)
-            with spmd_local_trace():
+            # per-device local so (a) roi_align "auto" may pick the Pallas
+            # backward (models/maskrcnn.py head_train) and (b) trainable
+            # BatchNorm becomes sync-BN over the axis (backbones/resnet.py
+            # Norm) — matching the global-batch statistics of gspmd.
+            with spmd_local_trace(axis):
                 return local_step(state, batch)
 
         batch_spec = P(axis)  # leading-dim sharding on every batch field

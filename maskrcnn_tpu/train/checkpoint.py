@@ -41,9 +41,12 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Exact resume: restores the full state into ``template``'s structure."""
+    """Exact resume: restores the full state into ``template``'s structure.
+
+    Paths are absolutized here: orbax/tensorstore rejects relative paths
+    deep inside the restore with an opaque ValueError (round-4 VERDICT)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    return ckptr.restore(os.path.abspath(path), template)
 
 
 def load_params_only(path: str, template: TrainState) -> TrainState:

@@ -10,6 +10,15 @@ smooth-L1 on positive rows only, normalized by #(label ≥ 0); σ=3 for RPN,
 
 Ignored entries are encoded as label −1 (chainer's softmax_cross_entropy
 ignore_label convention); padded slots are mapped to −1 before the loss.
+
+Axis-aware normalization: every loss here is a ratio ``numerator_sum /
+valid_count``. Under shard_map data parallelism each device sees only its
+local shard; averaging per-shard ratios (mean-of-ratios) does NOT equal the
+global-batch ratio when shards have uneven valid counts. Passing
+``axis_name`` makes the DENOMINATOR global (``lax.psum`` of the local
+count) while the numerator stays local — then ``psum`` of the per-shard
+loss values/gradients reproduces the single-device global-batch loss and
+gradient exactly (train/step.py reduces with psum in that mode).
 """
 
 from __future__ import annotations
@@ -32,22 +41,32 @@ def smooth_l1(x: jnp.ndarray, t: jnp.ndarray, sigma: float) -> jnp.ndarray:
     )
 
 
+def _global_count(count: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
+    """Valid-count denominator, summed over the DP axis when inside
+    shard_map (see module docstring)."""
+    count = count.astype(jnp.float32)
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+    return jnp.maximum(count, 1.0)
+
+
 def fast_rcnn_loc_loss(
     pred_loc: jnp.ndarray,  # (N, 4)
     gt_loc: jnp.ndarray,  # (N, 4)
     labels: jnp.ndarray,  # (N,) int32: >0 pos, 0 neg, -1 ignore
     sigma: float,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Smooth-L1 summed over positive rows / #(label ≥ 0)."""
     pos = (labels > 0).astype(jnp.float32)[:, None]
     loss = (smooth_l1(pred_loc, gt_loc, sigma) * pos).sum()
-    denom = jnp.maximum((labels >= 0).sum().astype(jnp.float32), 1.0)
-    return loss / denom
+    return loss / _global_count((labels >= 0).sum(), axis_name)
 
 
 def softmax_ce_ignore(
     logits: jnp.ndarray,  # (N, C)
     labels: jnp.ndarray,  # (N,) int32, -1 = ignore
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Mean softmax cross-entropy over non-ignored rows (chainer semantics).
 
@@ -62,7 +81,7 @@ def softmax_ce_ignore(
     onehot = safe[:, None] == jnp.arange(logits.shape[-1])[None, :]
     nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     nll = jnp.where(valid, nll, 0.0)
-    return nll.sum() / jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    return nll.sum() / _global_count(valid.sum(), axis_name)
 
 
 def sigmoid_mask_loss(
@@ -70,6 +89,7 @@ def sigmoid_mask_loss(
     mask_targets: jnp.ndarray,  # (N, S, S) binary float
     labels: jnp.ndarray,  # (N,) int32, bg=0 convention
     is_pos: jnp.ndarray,  # (N,) bool — only positives contribute
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Per-class binary mask loss (reference train.py:50-58).
 
@@ -87,7 +107,7 @@ def sigmoid_mask_loss(
         )[..., 0]  # (N, S, S)
     ce = jnp.maximum(sel, 0.0) - sel * mask_targets + jnp.log1p(jnp.exp(-jnp.abs(sel)))
     w = is_pos.astype(jnp.float32)[:, None, None]
-    denom = jnp.maximum(w.sum() * ce.shape[1] * ce.shape[2], 1.0)
+    denom = _global_count(w.sum(), axis_name) * ce.shape[1] * ce.shape[2]
     return (ce * w).sum() / denom
 
 
@@ -95,13 +115,14 @@ def keypoint_ce_loss(
     heat_logits: jnp.ndarray,  # (N, S, S, K)
     kp_labels: jnp.ndarray,  # (N, K) int32 bin in [0, S²) or -1
     is_pos: jnp.ndarray,  # (N,) bool
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Softmax CE over S² location bins per keypoint
     (reference train_keypoints.py:21-27), ignoring −1 and non-positives."""
     n, s, _, k = heat_logits.shape
     logits = heat_logits.reshape(n, s * s, k).transpose(0, 2, 1).reshape(n * k, s * s)
     labels = jnp.where(is_pos[:, None], kp_labels, -1).reshape(n * k)
-    return softmax_ce_ignore(logits, labels)
+    return softmax_ce_ignore(logits, labels, axis_name)
 
 
 class LossBreakdown(NamedTuple):

@@ -75,9 +75,12 @@ def make_train_step(cfg: Config, model: MaskRCNN,
     GLOBAL image index (``axis_index * local_b + i``) so the sampled
     proposals/anchors are bit-identical to the single-device step on the
     same global batch. The function is returned UNJITTED in that mode (the
-    caller wraps it in shard_map + jit). As with grad-accum, losses
-    normalize by each shard's own valid counts, so the pmean'd gradient
-    differs from the global-batch gradient only in that normalization.
+    caller wraps it in shard_map + jit). Losses normalize by GLOBAL valid
+    counts (axis-aware denominators) and gradients reduce with psum, so at
+    ``grad_accum_steps == 1`` the update matches the single-device
+    global-batch step exactly (tests/test_parallel.py). With accumulation
+    the micro-batch GROUPING differs (each shard splits its local rows),
+    so the documented accum-vs-full divergence applies per shard.
 
     NOTE: the returned step donates its ``state`` argument (in-place param
     update, halves HBM traffic). Always rebind: ``state, metrics =
@@ -171,18 +174,21 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             at.locs.reshape(b * a, 4),
             at.labels.reshape(b * a),
             sigma=3.0,
+            axis_name=axis_name,
         )
         rpn_cls_loss = L.softmax_ce_ignore(
-            rpn_scores.reshape(b * a, 2), at.labels.reshape(b * a)
+            rpn_scores.reshape(b * a, 2), at.labels.reshape(b * a),
+            axis_name,
         )
 
         # ---- head losses (σ=1; :88-102) ----
         cls_labels = jnp.where(sample.valid, sample.labels, -1).reshape(-1)
         roi_loc = L.select_roi_locs(roi_cls_locs, cls_labels)
         roi_loc_loss = L.fast_rcnn_loc_loss(
-            roi_loc, sample.locs.reshape(-1, 4), cls_labels, sigma=1.0
+            roi_loc, sample.locs.reshape(-1, 4), cls_labels, sigma=1.0,
+            axis_name=axis_name,
         )
-        roi_cls_loss = L.softmax_ce_ignore(roi_scores, cls_labels)
+        roi_cls_loss = L.softmax_ce_ignore(roi_scores, cls_labels, axis_name)
 
         # ---- mask / keypoint loss (injected in reference; train.py:50-58) --
         # restricted to the positive slots pooled above
@@ -193,7 +199,8 @@ def make_train_step(cfg: Config, model: MaskRCNN,
                 sample_pos, batch.gt_keypoints, mask_size=cfg.model.mask_size
             )
             mask_loss = L.keypoint_ce_loss(
-                roi_masks, kp_t.reshape(-1, kp_t.shape[-1]), pos_flat
+                roi_masks, kp_t.reshape(-1, kp_t.shape[-1]), pos_flat,
+                axis_name,
             )
         else:
             m_t = mask_targets(
@@ -203,7 +210,7 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             s = cfg.model.mask_size
             mask_loss = L.sigmoid_mask_loss(
                 roi_masks, m_t.reshape(-1, s, s),
-                sample_pos.labels.reshape(-1), pos_flat,
+                sample_pos.labels.reshape(-1), pos_flat, axis_name,
             )
 
         total = rpn_loc_loss + rpn_cls_loss + roi_loc_loss + roi_cls_loss + mask_loss
@@ -221,6 +228,16 @@ def make_train_step(cfg: Config, model: MaskRCNN,
         )
 
     def train_step(state: TrainState, batch: Batch):
+        if accum > 1 and batch.images.shape[0] % accum != 0:
+            # under shard_map the LOCAL shard is what gets micro-split;
+            # validate it here (shapes are static at trace) instead of
+            # failing later with an opaque reshape error
+            raise ValueError(
+                f"per-device batch {batch.images.shape[0]} not divisible "
+                f"by grad_accum_steps {accum} (global batch "
+                f"{cfg.train.batch_size}; with DP the LOCAL shard must "
+                "split evenly into micro-batches)"
+            )
         key, new_key = jax.random.split(state.key)
         b = cfg.train.batch_size
         # (b, 2) per-image (proposal, anchor) sampling keys by global image
@@ -285,12 +302,16 @@ def make_train_step(cfg: Config, model: MaskRCNN,
             grads = jax.tree.map(lambda g: g / accum, g_sum)
             bd = jax.tree.map(lambda x: jnp.mean(x, axis=0), bds)
         if axis_name is not None:
-            # DP reduction — the explicit psum the GSPMD partitioner would
-            # have inserted. batch_stats too: a no-op under frozen BN (the
-            # default), cross-replica averaging (the standard choice) when
-            # BN trains.
-            grads, bd, new_bs = jax.lax.pmean(
-                (grads, bd, new_bs), axis_name)
+            # DP reduction. The losses above normalized by GLOBAL valid
+            # counts (axis-aware denominators, train/losses.py), so each
+            # shard's loss/gradient is its local numerator over the global
+            # denominator — psum (NOT pmean) reconstructs the single-device
+            # global-batch loss and gradient exactly (round-4 ADVICE: the
+            # old pmean of locally-normalized ratios diverged by ~3e-3 on
+            # uneven shards). batch_stats keeps pmean: cross-replica
+            # averaging of running stats (a no-op under frozen BN).
+            grads, bd = jax.lax.psum((grads, bd), axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: p + u, state.params, updates

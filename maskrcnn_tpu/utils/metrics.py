@@ -53,5 +53,18 @@ class MetricLogger:
             print("  ".join(vals))
             sys.stdout.flush()
 
+    def log_validation(self, step: int, report: dict):
+        """Write an in-training evaluation as a ``validation/main/*`` row —
+        the reference's LogReport records its evaluator extension under the
+        same prefix (reference train.py:142-166, evaluator.py:92-104).
+        Round-4 lesson: a 0.0-AP flagship run went unnoticed for 6000 steps
+        because eval results were only ever printed."""
+        record = {"iteration": step,
+                  "elapsed_time": time.time() - self._t_start}
+        for k, v in report.items():
+            if isinstance(v, (int, float)):
+                record[f"validation/main/{k}"] = float(v)
+        self._f.write(json.dumps(record) + "\n")
+
     def close(self):
         self._f.close()

@@ -70,6 +70,18 @@ def _cache_path() -> str:
 def _run_probe() -> bool:
     env = dict(os.environ)
     env.pop("MASKRCNN_HEALTHY_TPU", None)
+    # Pin the subprocess to the PARENT's actual backend (round-4 VERDICT:
+    # with JAX_PLATFORMS=axon inherited but the axon plugin unavailable in
+    # a clean env, the subprocess died at backend init and the probe
+    # reported "unhealthy" for a healthy platform). The parent has already
+    # initialized jax by the time the probe is wanted, so its resolved
+    # platform — not the env var — is the truth.
+    try:
+        import jax
+
+        env["JAX_PLATFORMS"] = jax.default_backend()
+    except Exception:
+        pass
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],

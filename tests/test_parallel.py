@@ -84,3 +84,77 @@ def test_dp_matches_single_device():
         )
     leaf = jax.tree.leaves(s8b.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_shard_map_fused_roi_align_matches_xla():
+    """The round-4 mesh work exists for exactly one configuration: the
+    fused Pallas ROIAlign backward running INSIDE a shard_map body on a
+    multi-device mesh (parallel/mesh.py spmd="shard_map"). Execute that
+    combination on the 8-device CPU mesh (Pallas interpret mode) and assert
+    the loss and feature gradients match the global single-program XLA
+    path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from maskrcnn_tpu.ops.roi_align import (
+        multilevel_roi_align_train,
+        spmd_local_trace,
+    )
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    b, n, n_pos, c = 8, 4, 2, 128
+    rng = np.random.RandomState(0)
+    # two pyramid levels with widths %8 == 0 (the fused path's fold gate)
+    f0 = rng.randn(b, 16, 16, c).astype(np.float32)
+    f1 = rng.randn(b, 8, 8, c).astype(np.float32)
+    # ROIs in a 128×128 image frame (scales 1/8, 1/16)
+    y0 = rng.uniform(0, 60, (b, n)).astype(np.float32)
+    x0 = rng.uniform(0, 60, (b, n)).astype(np.float32)
+    hh = rng.uniform(16, 60, (b, n)).astype(np.float32)
+    ww = rng.uniform(16, 60, (b, n)).astype(np.float32)
+    rois = np.stack([y0, x0, y0 + hh, x0 + ww], axis=-1)
+    lvls = rng.randint(0, 2, (b, n)).astype(np.int32)
+
+    def loss_fn(a0, a1, rr, lv, bwd):
+        pb, pm = multilevel_roi_align_train(
+            [a0, a1], rr, lv, n_pos, (7, 7), (14, 14),
+            (1 / 8.0, 1 / 16.0), bwd_scatter=bwd,
+        )
+        # quadratic so the gradient depends on the forward values
+        return (pb.astype(jnp.float32) ** 2).sum() + (
+            pm.astype(jnp.float32) ** 2).sum()
+
+    # global single-program XLA reference
+    ref_loss, (g0_ref, g1_ref) = jax.value_and_grad(
+        lambda a0, a1: loss_fn(a0, a1, rois, lvls, "xla"), argnums=(0, 1)
+    )(f0, f1)
+
+    def local_body(a0, a1, rr, lv):
+        with spmd_local_trace():
+            loss, grads = jax.value_and_grad(
+                lambda z0, z1: loss_fn(z0, z1, rr, lv, "pallas"),
+                argnums=(0, 1),
+            )(a0, a1)
+        return jax.lax.psum(loss, "data"), grads
+
+    spec = P("data")
+    mapped = jax.jit(jax.shard_map(
+        local_body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(P(), (spec, spec)),
+        # pallas_call can't declare varying-manual-axes; mesh.py's
+        # production shard_map path disables the checker the same way
+        check_vma=False,
+    ))
+    shard = lambda x: jax.device_put(  # noqa: E731
+        x, NamedSharding(mesh, P("data", *[None] * (x.ndim - 1))))
+    sm_loss, (g0, g1) = mapped(shard(jnp.asarray(f0)), shard(jnp.asarray(f1)),
+                               shard(jnp.asarray(rois)),
+                               shard(jnp.asarray(lvls)))
+
+    # psum of 8 partial f32 sums vs one global sum: reduction-order noise
+    np.testing.assert_allclose(float(sm_loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g0_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g1_ref),
+                               rtol=1e-4, atol=1e-4)
