@@ -204,14 +204,21 @@ class MaskRCNN(nn.Module):
             # where every op sees its local shard and pallas_call is legal.
             # Multi-device GSPMD jit has no partitioning rule for
             # pallas_call, so those autos stay on the XLA scatter.
+            # "auto" additionally requires the ON-CHIP numerics gate
+            # (utils/kernel_gate.py): interpret-mode tests are not evidence
+            # for Mosaic, so the fused path must have matched the XLA path
+            # on this device kind once (cached per fingerprint) before it
+            # becomes a default. Runs in a subprocess at first trace.
             import jax as _jax
 
             from maskrcnn_tpu.ops.roi_align import in_spmd_local_trace
+            from maskrcnn_tpu.utils.kernel_gate import fused_kernel_verified
 
             use_pallas_bwd = self.cfg.model.roi_align == "fused" or (
                 self.cfg.model.roi_align == "auto"
                 and _jax.default_backend() == "tpu"
                 and (len(_jax.devices()) == 1 or in_spmd_local_trace())
+                and fused_kernel_verified()
             )
             pooled_box, pooled_mask = multilevel_roi_align_train(
                 features, rois_bn, levels_bn, n_pos,

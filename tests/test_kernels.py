@@ -156,3 +156,22 @@ def test_fused_pair_matches_region_values_and_grads(rng):
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_kernel_gate_probe_source_runs():
+    """The on-chip numerics gate's probe program (utils/kernel_gate.py)
+    must itself be healthy: executed here on CPU (interpret mode), it
+    must report ok=True with tiny diffs. On a real TPU the same source
+    runs in a subprocess once per fingerprint before roi_align='auto'
+    may pick the fused backward."""
+    import json
+
+    from maskrcnn_tpu.utils import kernel_gate
+
+    captured = {}
+    exec(compile(kernel_gate._PROBE_SRC, "<probe>", "exec"),
+         {"print": lambda s: captured.__setitem__("line", s)})
+    assert captured["line"].startswith("FUSED_GATE ")
+    verdict = json.loads(captured["line"][len("FUSED_GATE "):])
+    assert verdict["ok"], verdict
+    assert verdict["diffs"]["f32"]["bwd"] <= 1e-3

@@ -30,15 +30,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def make_dataset(root: str, n_images: int, hw: tuple[int, int],
                  n_objects: int, n_classes: int = 20, seed: int = 0,
-                 quality: int = 90, mixed_aspect: bool = False) -> None:
+                 quality: int = 90, mixed_aspect: bool = False,
+                 split: str = "train", learnable: bool = False) -> None:
     """Real-schema COCO dir: JPEG images + instances json with polygons.
 
     ``mixed_aspect`` alternates landscape/portrait (image i odd →
-    transposed dims) — drives the multi-bucket pipeline end-to-end."""
+    transposed dims) — drives the multi-bucket pipeline end-to-end.
+
+    ``learnable`` renders class-colored filled shapes (the same
+    class→color hash as data/synthetic.py) on a dark background instead of
+    pure noise, with the polygon tracing the actual shape — so a model
+    trained THROUGH the real host pipeline (JPEG decode, polygon raster,
+    resize, padding) can reach nonzero AP: the round-5 full-dress
+    rehearsal (VERDICT round-4 #6)."""
     import cv2
 
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
-    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, split), exist_ok=True)
     rng = np.random.RandomState(seed)
     images, annotations = [], []
     aid = 1
@@ -46,34 +54,61 @@ def make_dataset(root: str, n_images: int, hw: tuple[int, int],
         h0, w0 = hw
         if mixed_aspect and i % 2:
             h0, w0 = w0, h0
-        img = rng.randint(0, 255, (h0, w0, 3)).astype(np.uint8)
+        if learnable:
+            img = rng.randint(0, 38, (h0, w0, 3)).astype(np.uint8)
+        else:
+            img = rng.randint(0, 255, (h0, w0, 3)).astype(np.uint8)
         name = f"{i:08d}.jpg"
-        cv2.imwrite(os.path.join(root, "train", name), img,
-                    [cv2.IMWRITE_JPEG_QUALITY, quality])
-        images.append({"id": i + 1, "file_name": name,
-                       "height": h0, "width": w0})
-        for _ in range(n_objects):
-            w = float(rng.uniform(w0 * 0.1, w0 * 0.5))
-            hh = float(rng.uniform(h0 * 0.1, h0 * 0.5))
+        img_anns = []
+        n_obj = int(rng.randint(1, n_objects + 1)) if learnable else n_objects
+        for _ in range(n_obj):
+            w = float(rng.uniform(w0 * 0.12, w0 * 0.5))
+            hh = float(rng.uniform(h0 * 0.12, h0 * 0.5))
             x = float(rng.uniform(0, w0 - w))
             y = float(rng.uniform(0, h0 - hh))
+            cls = int(rng.randint(1, n_classes + 1))
             # an octagon-ish polygon inside the box (realistic vertex count)
             ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
             px = x + w / 2 + (w / 2) * 0.9 * np.cos(ang)
             py = y + hh / 2 + (hh / 2) * 0.9 * np.sin(ang)
+            if learnable:
+                # class-keyed color, same hash as data/synthetic.py — the
+                # classification signal the head must learn
+                c0 = cls - 1
+                base = np.array([
+                    ((c0 * 2654435761) % 255) / 255.0,
+                    ((c0 * 40503 + 89) % 255) / 255.0,
+                    ((c0 * 9176 + 191) % 255) / 255.0,
+                ])
+                color = np.clip(
+                    0.35 + 0.6 * base + rng.uniform(-0.05, 0.05, 3), 0, 1)
+                bgr = tuple(int(v) for v in (color * 255)[::-1])
+                pts = np.stack([px, py], 1).astype(np.int32)
+                cv2.fillPoly(img, [pts], bgr)
+                # tight polygon bbox (annToMask parity for eval)
+                x, y = float(px.min()), float(py.min())
+                w, hh = float(px.max() - x), float(py.max() - y)
             poly = np.stack([px, py], 1).reshape(-1).tolist()
-            annotations.append({
+            img_anns.append({
                 "id": aid, "image_id": i + 1,
-                "category_id": int(rng.randint(1, n_classes + 1)),
+                "category_id": cls,
                 "bbox": [x, y, w, hh], "area": w * hh, "iscrowd": 0,
                 "segmentation": [poly],
             })
             aid += 1
+        cv2.imwrite(os.path.join(root, split, name), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, quality])
+        images.append({"id": i + 1, "file_name": name,
+                       "height": h0, "width": w0})
+        annotations.extend(img_anns)
     cats = [{"id": c, "name": f"class{c}"} for c in range(1, n_classes + 1)]
-    with open(os.path.join(root, "annotations", "instances_train.json"),
-              "w") as f:
+    with open(os.path.join(root, "annotations",
+                           f"instances_{split}.json"), "w") as f:
         json.dump({"images": images, "annotations": annotations,
                    "categories": cats}, f)
+    # label list for the train/eval CLIs' --label-file (n_fg_class)
+    with open(os.path.join(root, "labels.txt"), "w") as f:
+        f.write("\n".join(f"class{c}" for c in range(1, n_classes + 1)))
 
 
 def main():
