@@ -169,7 +169,7 @@ def scatter_add_regions(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, tilec, ch, _LANES), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM),

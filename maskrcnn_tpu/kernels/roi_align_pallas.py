@@ -177,7 +177,7 @@ def _pallas_forward(flat, row_ids, by, bx, out_size, sampling_ratio, t_span):
             pl.BlockSpec((1, R_BLK, n_half * ow, n_half * t),
                          lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat2 pyramid in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat2 pyramid in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, R_BLK, oh, n_half * ow, _LANES),
