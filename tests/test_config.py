@@ -61,3 +61,42 @@ class TestPresets:
         assert cfg.eval.score_thresh == 0.05 and cfg.eval.nms_thresh == 0.3
         cfg = cfg_lib.use_preset(cfg_lib.fpn_mask(), "visualize")
         assert cfg.eval.score_thresh == 0.7
+
+
+def test_apply_overrides_typing(tmp_path):
+    """--set strings type themselves from the field's current value."""
+    from maskrcnn_tpu import config as cfg_lib
+
+    cfg = cfg_lib.PRESETS["fpn_mask"]()
+    out = cfg_lib.apply_overrides(cfg, [
+        "model.freeze_bn=False",
+        "train.image_size=256x320",
+        "proposals.nms_thresh=0.5",
+        "sampler.n_sample=128",
+    ])
+    assert out.model.freeze_bn is False
+    assert out.train.image_size == (256, 320)
+    assert abs(out.proposals.nms_thresh - 0.5) < 1e-9
+    assert out.sampler.n_sample == 128
+    # bad key raises instead of silently ignoring
+    import pytest
+
+    with pytest.raises(AttributeError):
+        cfg_lib.apply_overrides(cfg, ["model.no_such_field=1"])
+
+
+def test_metric_logger_validation_rows(tmp_path):
+    """In-train eval results land in the JSONL under validation/main/*
+    (round-4 lesson: a 0.0-AP run was invisible in its own log)."""
+    import json
+
+    from maskrcnn_tpu.utils import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), print_every=100)
+    lg.log(1, {"loss": 1.0}, n_images=2, lr=0.1)
+    lg.log_validation(1, {"map": 0.5, "coco/map": 0.25, "skip": "str"})
+    lg.close()
+    rows = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+    val = [r for r in rows if "validation/main/map" in r]
+    assert val and val[0]["validation/main/coco/map"] == 0.25
+    assert "validation/main/skip" not in val[0]
