@@ -79,7 +79,25 @@ def _run_probe() -> bool:
     try:
         import jax
 
-        env["JAX_PLATFORMS"] = jax.default_backend()
+        backend = jax.default_backend()
+        env["JAX_PLATFORMS"] = backend
+        if backend == "cpu":
+            # A CPU-pinned probe must not pay for foreign-platform
+            # bootstraps: a PYTHONPATH sitecustomize that registers a
+            # device PJRT plugin initializes it at interpreter startup,
+            # and that init can stall arbitrarily behind a busy device
+            # tunnel (observed: 66 s best case, > probe timeout while the
+            # chip compiles elsewhere). Drop sitecustomize-bearing
+            # PYTHONPATH entries; the cpu backend needs none of them.
+            kept = [
+                p
+                for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                if p and not os.path.exists(os.path.join(p, "sitecustomize.py"))
+            ]
+            if kept:
+                env["PYTHONPATH"] = os.pathsep.join(kept)
+            else:
+                env.pop("PYTHONPATH", None)
     except Exception:
         pass
     try:
