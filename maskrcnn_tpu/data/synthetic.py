@@ -117,7 +117,11 @@ class SyntheticDetectionData:
             gt_boxes=np.stack(bxs),
             gt_labels=np.stack(lbs),
             gt_valid=np.stack(vds),
-            gt_masks=None if self.is_keypoint else np.stack(mks),
+            # uint8 transport (exact here: synthetic masks are binary) —
+            # quarters the dominant per-step H2D tensor; mask_targets
+            # normalizes back on device
+            gt_masks=None if self.is_keypoint else
+            (np.stack(mks) * 255.0 + 0.5).astype(np.uint8),
             gt_keypoints=np.stack(kps) if self.is_keypoint else None,
         )
 

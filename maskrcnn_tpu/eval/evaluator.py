@@ -34,8 +34,11 @@ def crop_to_full_mask(gt_masks_crops, gt_boxes, gt_valid, img_hw):
         y1i, x1i = min(int(np.ceil(y1)), h), min(int(np.ceil(x1)), w)
         canvas = np.zeros((h, w), bool)
         if y1i > y0i and x1i > x0i:
+            crop = gt_masks_crops[i].astype(np.float32)
+            if gt_masks_crops.dtype == np.uint8:
+                crop /= 255.0  # uint8 transport encodes [0,1] as 0..255
             m = cv2.resize(
-                gt_masks_crops[i].astype(np.float32),
+                crop,
                 (x1i - x0i, y1i - y0i), interpolation=cv2.INTER_LINEAR,
             )
             canvas[y0i:y1i, x0i:x1i] = m >= 0.5

@@ -160,7 +160,15 @@ def mask_targets(
     Equivalent of reference :95-103 (crop GT mask to the sampled ROI +
     cv2.resize): each output cell samples the GT's fixed-size mask crop at
     the cell center, mapped ROI→GT-box coordinates, thresholded at 0.5.
+
+    Accepts float crops in [0,1] or uint8 transport (0..255 encoding the
+    same range) — loaders ship uint8 to quarter the per-step host→device
+    bytes (64 slots × 112² × b8 is 25.7 MB as f32); the cast back happens
+    here, on device. Binary masks round-trip exactly; interpolated COCO
+    crops carry ≤1/510 quantization, beneath the ≥0.5 threshold's noise.
     """
+    if gt_masks.dtype == jnp.uint8:
+        gt_masks = gt_masks.astype(jnp.float32) / 255.0
     s = gt_masks.shape[-1]
 
     def per_roi(roi, gmask, gbox):
