@@ -89,6 +89,15 @@ def parse_args(argv=None):
                    help="comma-separated HxW static padding buckets, e.g. "
                         "'800x1024,1024x800'; each image goes to its "
                         "least-waste bucket (one compiled step per bucket)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="chain K optimizer steps into ONE device dispatch "
+                        "(lax.scan over K stacked batches) — amortizes the "
+                        "per-dispatch round trip, which dominates on "
+                        "tunneled/remote device links. Default: auto "
+                        "(largest K<=20 that lands on every log/snapshot/"
+                        "eval boundary; 1 under --data-parallel, multi-"
+                        "bucket input, or the cpu backend). Semantics are "
+                        "exactly K sequential steps; 1 disables")
     p.add_argument("--loader-workers", type=int, default=1,
                    help="decode threads per batch (reference: "
                         "MultithreadIterator n_threads, train.py:124-126); "
@@ -107,7 +116,9 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from maskrcnn_tpu.data.prefetch import Prefetcher
     from maskrcnn_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -226,14 +237,54 @@ def main(argv=None):
     except TypeError:  # synthetic/depth streams take no worker count
         batches = data.iter_from(start)
 
+    # ---- steps-per-dispatch (K): amortize the per-dispatch round trip ----
+    # The per-step loop pays one dispatch + H2D round trip per optimizer
+    # step; over the tunneled TPU link that overhead measured ~0.85 s of a
+    # 1.2 s step (512²b8). Chaining K steps into one lax.scan dispatch
+    # divides it by K with EXACTLY-K-sequential-steps semantics
+    # (train/step.py make_train_step(chain=K)).
+    multi_shape = (
+        args.dataset not in ("synthetic", "depth")
+        and cfg.train.image_buckets is not None
+        and len(cfg.train.image_buckets) > 1
+    )
+    total_left = cfg.train.iterations - start
+    if args.data_parallel or multi_shape or total_left <= 0:
+        # DP steps go through the mesh wrapper; multi-bucket batches vary
+        # in shape per step — hard constraints, keep K=1
+        chain = 1
+        if args.steps_per_dispatch and args.steps_per_dispatch > 1:
+            print(f"[dispatch] --steps-per-dispatch "
+                  f"{args.steps_per_dispatch} ignored "
+                  "(data-parallel or multi-bucket run)")
+    elif args.steps_per_dispatch is None and jax.default_backend() == "cpu":
+        # XLA:CPU lowers convs inside scan off its fast path (see
+        # train/step.py) — auto stays per-step; explicit values are honored
+        chain = 1
+    else:
+        g = math.gcd(args.log_every, args.snapshot_every)
+        if args.eval_every:
+            g = math.gcd(g, args.eval_every)
+        g = math.gcd(g, total_left)
+        if start:
+            g = math.gcd(g, start)
+        cap = args.steps_per_dispatch if args.steps_per_dispatch else 20
+        chain = next(d for d in range(max(min(cap, g), 1), 0, -1)
+                     if g % d == 0)
+        if args.steps_per_dispatch and chain != args.steps_per_dispatch:
+            print(f"[dispatch] --steps-per-dispatch "
+                  f"{args.steps_per_dispatch} does not divide the "
+                  f"log/snapshot/eval boundaries; using {chain}")
+
+    def stack_batches(raw):
+        return jax.tree.map(lambda *xs: np.stack(xs), *raw)
+
     # overlap host data prep with device steps (reference
-    # MultithreadIterator equivalent)
-    from maskrcnn_tpu.data.prefetch import Prefetcher
+    # MultithreadIterator equivalent); hold a macro-dispatch's worth
+    batches = Prefetcher(batches, size=max(2, 2 * chain))
 
-    batches = Prefetcher(batches, size=2)
-
-    # one compiled step per static bucket (multi-bucket pipeline keeps a
-    # small dict; single-bucket configs only ever populate one entry)
+    # one compiled step per (static bucket, chain length) — multi-bucket
+    # pipelines keep a small dict; single-bucket configs one entry
     step_cache = {}
     if args.data_parallel:
         from maskrcnn_tpu.parallel import (
@@ -246,7 +297,7 @@ def main(argv=None):
         mesh = make_mesh()
         state = replicate(state, mesh)
 
-        def step_for(hw):
+        def step_for(hw, k=1):
             if hw not in step_cache:
                 step_cache[hw] = make_parallel_train_step(
                     cfg, model, mesh, image_size=hw
@@ -256,10 +307,11 @@ def main(argv=None):
         def put(b):
             return shard_batch(b, mesh)
     else:
-        def step_for(hw):
-            if hw not in step_cache:
-                step_cache[hw] = make_train_step(cfg, model, image_size=hw)
-            return step_cache[hw]
+        def step_for(hw, k=1):
+            if (hw, k) not in step_cache:
+                step_cache[hw, k] = make_train_step(
+                    cfg, model, image_size=hw, chain=k)
+            return step_cache[hw, k]
 
         def put(b):
             return jax.tree.map(
@@ -351,40 +403,61 @@ def main(argv=None):
                   "train.py:171-176; this is the AP-flavored trap.) ***")
         return rep
 
-    for it in range(start, cfg.train.iterations):
-        batch = put(next(batches))
-        if args.profile_dir and it == start + 10:
+    if chain > 1:
+        print(f"[dispatch] chaining {chain} steps per device dispatch")
+    # fetch cadence (macro steps): keeps the ~20-step async-dispatch bound
+    sync_every = max(1, 20 // chain) * chain
+    profiling = 0  # 0=armed, 1=tracing, 2=done
+    it = start
+    while it < cfg.train.iterations:
+        if chain > 1:
+            batch = put(stack_batches([next(batches) for _ in range(chain)]))
+            hw = tuple(batch.images.shape[2:4])
+        else:
+            batch = put(next(batches))
+            hw = tuple(batch.images.shape[1:3])
+        if args.profile_dir and profiling == 0 and it - start >= 10:
             jax.profiler.start_trace(args.profile_dir)
-        state, metrics = step_for(tuple(batch.images.shape[1:3]))(state, batch)
-        if args.profile_dir and it == start + 20:
+            profiling = 1
+        state, metrics = step_for(hw, chain)(state, batch)
+        step_i = it + chain
+        if args.profile_dir and profiling == 1 and step_i - start >= 20:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
-        step_i = it + 1
-        if step_i % 20 == 0:
+            profiling = 2
+        if step_i % sync_every == 0:
             # bound async dispatch: without a periodic HOST sync the loop
             # enqueues batches faster than the device+tunnel drain them and
             # host transfer buffers accumulate without bound — measured
             # ~13 GB per 1000 steps at 512²b8 on the axon tunnel, OOM-killed
             # at 128 GB mid-quality-run. A value fetch (block_until_ready
-            # does not reliably block over this tunnel) every 20 steps caps
+            # does not reliably block over this tunnel) every ~20 steps caps
             # the in-flight queue at ~1 GB for ~1% step-time cost. (The
             # reference had the HOST-side version of this bug: its README
             # documents memory growing through the first epoch, needing a
             # 64 GB machine.)
-            loss_now = float(metrics["loss"])
-            if not math.isfinite(loss_now):
+            losses = np.asarray(metrics["loss"]).reshape(-1)  # (chain,)|(1,)
+            loss_now = float(losses[-1])
+            if not np.isfinite(losses).all():
                 # the reference's np.seterr + pdb-on-warning trap
                 # (train.py:171-176), TPU-shaped: the loss is fetched here
                 # anyway, so finiteness costs nothing. Dump state for the
                 # post-mortem and halt instead of training on garbage.
+                bad = step_i - len(losses) + 1 + int(
+                    np.argmin(np.isfinite(losses)))
                 path = save_checkpoint(ckpt_dir, state, step_i)
-                parts = {k: float(v) for k, v in metrics.items()}
+                parts = {k: np.asarray(v).reshape(-1).tolist()
+                         for k, v in metrics.items()}
                 raise SystemExit(
-                    f"[trap] non-finite loss {loss_now} at step {step_i}; "
-                    f"breakdown {parts}; state dumped to {path}"
+                    f"[trap] non-finite loss at step {bad} "
+                    f"(macro ending {step_i}); breakdown {parts}; "
+                    f"state dumped to {path}"
                 )
-        if step_i % args.log_every == 0 or step_i == 1:
-            scalars = {k: float(v) for k, v in metrics.items()}
+        if step_i % args.log_every == 0 or step_i == chain:
+            # with chaining, log the macro's LAST step (parity with the
+            # per-step loop's instantaneous metrics)
+            scalars = {k: float(np.asarray(v).reshape(-1)[-1])
+                       for k, v in metrics.items()}
             if hasattr(data, "padding_waste"):
                 scalars["padding_waste"] = data.padding_waste()
             # input-bound diagnostic: fraction of batch fetches that found
@@ -411,6 +484,7 @@ def main(argv=None):
                 print(f"[commands] stop at {step_i}")
                 save_checkpoint(ckpt_dir, state, step_i)
                 break
+        it = step_i
     logger.close()
 
 

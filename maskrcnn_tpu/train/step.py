@@ -62,7 +62,8 @@ def _flatten_rois(sample_rois, sample_levels):
 
 def make_train_step(cfg: Config, model: MaskRCNN,
                     image_size: tuple[int, int] | None = None,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    chain: int = 1):
     """Build the jitted train step for a config. Anchors are trace-time
     constants derived from the static image bucket; with multi-bucket
     input (``cfg.train.image_buckets``) build one step per bucket by
@@ -81,6 +82,15 @@ def make_train_step(cfg: Config, model: MaskRCNN,
     global-batch step exactly (tests/test_parallel.py). With accumulation
     the micro-batch GROUPING differs (each shard splits its local rows),
     so the documented accum-vs-full divergence applies per shard.
+
+    ``chain > 1`` returns a step over a STACK of ``chain`` batches (every
+    array field carries a leading ``(chain, ...)`` axis): one dispatch
+    runs ``chain`` optimizer steps via ``lax.scan`` and returns metrics
+    stacked ``(chain,)`` per key. On a tunneled/remote device link the
+    per-dispatch round trip dominates a per-step loop (measured ~0.85 s
+    of the 1.2 s/step at 512²b8 on the axon relay); chaining amortizes it
+    by K. Semantics are EXACTLY K sequential steps — same PRNG path, same
+    batch order, same updates (it scans the identical step body).
 
     NOTE: the returned step donates its ``state`` argument (in-place param
     update, halves HBM traffic). Always rebind: ``state, metrics =
@@ -327,6 +337,16 @@ def make_train_step(cfg: Config, model: MaskRCNN,
 
     if axis_name is not None:
         return train_step  # caller wraps in shard_map + jit
+    if chain > 1:
+        def chained_step(state: TrainState, batches: Batch):
+            # scan the UNJITTED body: one executable, `chain` steps. On
+            # XLA:CPU unroll (conv-in-scan slowdown, see grad-accum note
+            # above); on TPU keep the rolled scan — one compiled body,
+            # `chain`× less HLO.
+            unroll = chain if jax.default_backend() == "cpu" else 1
+            return jax.lax.scan(train_step, state, batches, unroll=unroll)
+
+        return jax.jit(chained_step, donate_argnums=(0,))
     return jax.jit(train_step, donate_argnums=(0,))
 
 
