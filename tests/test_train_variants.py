@@ -135,3 +135,37 @@ def test_grad_accum_divergence_bounded():
     cos = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
     assert rel < 0.35, rel
     assert cos > 0.9, cos
+
+
+def test_chained_step_matches_sequential():
+    """make_train_step(chain=K) is EXACTLY K sequential steps — the
+    per-dispatch amortization for tunneled device links
+    (cli/train.py --steps-per-dispatch) must not change numerics:
+    same PRNG path, same batch order, same updates."""
+    cfg = cfg_lib.tiny_test()
+    model, variables = init_model(cfg, jax.random.key(0))
+    data = SyntheticDetectionData(cfg)
+    raw = [data.batch(i) for i in range(2)]
+
+    state_a = create_train_state(
+        cfg, jax.tree.map(jnp.copy, variables), jax.random.key(1))
+    step = make_train_step(cfg, model)
+    for b in raw:
+        state_a, m_seq = step(state_a, _to_device(b))
+
+    state_b = create_train_state(
+        cfg, jax.tree.map(jnp.copy, variables), jax.random.key(1))
+    chained = make_train_step(cfg, model, chain=2)
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *raw)
+    state_b, m_ch = chained(state_b, stacked)
+
+    assert int(state_a.step) == int(state_b.step) == 2
+    # metrics come back stacked (chain,); the last row is the final step
+    assert np.asarray(m_ch["loss"]).shape == (2,)
+    np.testing.assert_allclose(
+        float(np.asarray(m_ch["loss"])[-1]), float(m_seq["loss"]),
+        rtol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=0, atol=1e-6)
