@@ -111,7 +111,14 @@ class SyntheticDetectionData:
             mks.append(mk)
             kps.append(kp)
         return Batch(
-            images=np.stack(ims),
+            # uint8 transport (extract normalizes /255 on device, exact
+            # for these 8-bit-quantized values; matches the COCO loader).
+            # Together with uint8 masks this cuts per-step H2D from
+            # ~52 MB to ~12.7 MB at 512²b8 — load-bearing on the axon
+            # tunnel, whose client RETAINS every transfer buffer host-side
+            # (measured 26 MB RSS/step leak → OOM at 128 GB mid-run;
+            # BASELINE.md round 5).
+            images=(np.stack(ims) * 255.0 + 0.5).astype(np.uint8),
             img_hw=np.full((b, 2), (h, w), np.float32),
             scale=np.ones((b,), np.float32),
             gt_boxes=np.stack(bxs),
