@@ -319,6 +319,16 @@ def main(argv=None):
             )
 
     sched = lr_schedule(cfg)
+    # epoch-aware decay footgun (reference semantics, train.py:140): on a
+    # small dataset "every 2 epochs" can be a handful of steps — e.g. 600
+    # images at b8 decays every 150 steps, reaching lr·1e-4 by step 600.
+    # Warn when the run would decay more than 3 times.
+    if cfg.train.iterations // cfg.train.lr_decay_period > 3:
+        print(f"[lr] WARNING: lr decays ×{cfg.train.lr_decay_factor} every "
+              f"{cfg.train.lr_decay_period} steps — "
+              f"{cfg.train.iterations // cfg.train.lr_decay_period} decays "
+              "over this run (epoch-aware period on a small dataset?). "
+              "Override with --set train.lr_decay_every_iters=N.")
     logger = MetricLogger(args.out, print_every=args.log_every)
     ckpt_dir = os.path.join(args.out, "checkpoints")
 

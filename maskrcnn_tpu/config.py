@@ -223,7 +223,16 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
         elif isinstance(cur, tuple):
             typed = tuple(int(v) for v in val.replace("x", ",").split(",") if v)
         elif cur is None:
+            # untyped (None-default) field: numbers should arrive as
+            # numbers — lr_decay_every_iters="100000" reached the LR
+            # schedule as a string and crashed `step // period` at trace
             typed = val
+            for cast in (int, float):
+                try:
+                    typed = cast(val)
+                    break
+                except ValueError:
+                    pass
         else:
             typed = type(cur)(val)
         cfg = _rep(cfg, **{section: {field: typed}})
