@@ -93,13 +93,15 @@ def _use_healthy_path() -> bool:
         platform = "cpu"
     if platform != "tpu":
         return True
-    # On TPU: probe (once, subprocess, cached per jax/jaxlib/device-kind
-    # fingerprint) whether this libtpu survives fused gathers — see
-    # utils/tpu_probe.py. Healthy platforms get the single-jit native
-    # path automatically; the env var stays as an explicit override.
-    from maskrcnn_tpu.utils.tpu_probe import tpu_gather_healthy
-
-    return tpu_gather_healthy()
+    # On TPU the 4-stage path is the default even on gather-healthy
+    # chips: a round-5 A/B on a healthy v5e measured the single-jit
+    # path SLOWER (p50 43.5 ms vs 35.5 ms at 800×1024 b1, BASELINE.md
+    # round 5) — XLA schedules the split stages better than the fused
+    # executable, so the "3 extra dispatches tax" is negative. The env
+    # var remains to force the single-jit path (at the forcer's own risk
+    # on an unvetted libtpu — probe first: python -m
+    # maskrcnn_tpu.utils.tpu_probe).
+    return False
 
 
 def make_predict_fn(cfg: Config, model: MaskRCNN, image_size=None):
